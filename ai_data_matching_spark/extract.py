@@ -1,0 +1,176 @@
+"""Extraction & normalization stage.
+
+Re-expresses the reference's parity-critical normalizers as Spark-native
+column expressions plus one Arrow-batched pandas UDF for HTML→text:
+
+* ``normalize_name_col``      — reference ``normalize_company_name``
+  (/root/reference/src/matching_engine.py:21-58): lowercase/trim, ordered
+  location-pattern removal, business-suffix strip, whitespace collapse —
+  as an ordered ``F.regexp_replace`` chain (no Python in the hot path).
+* ``variants_col``            — reference ``create_matching_variants``
+  (/root/reference/src/matching_engine.py:60-79) with the hash-order
+  nondeterminism FIXED: variants carry an explicit priority
+  (normalized > stopword-stripped) so probe order is total.
+* ``extract_text_from_html``  — deterministic pure-Python HTML→text
+  (pinned algorithm, zero library dependence) exposed both as a scalar
+  function (for tests / synth round-trip) and as a pandas UDF over
+  ``html:binary`` (per-row invariant: byte-identical text per url).
+* ``normalized_domain_col``   — url → lowercase host minus leading ``www.``
+  (the graft analog of company-name normalization; blocking key #1).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Reference-parity name normalization (matching_engine.py:21-58 semantics)
+# ---------------------------------------------------------------------------
+
+# Ordered location/region patterns (applied in list order, like the reference).
+_LOCATION_PATTERNS: list[str] = [
+    r"\s+\([^)]*\)",          # parenthesized qualifiers: "Acme (US)"
+    r"\s+-\s+[a-z\s]+$",      # trailing " - region" qualifiers
+    r"\s+us$",
+    r"\s+usa$",
+    r"\s+uk$",
+    r"\s+europe$",
+    r"\s+emea$",
+    r"\s+asia$",
+    r"\s+apac$",
+    r"\s+americas$",
+    r"\s+north america$",
+    r"\s+international$",
+    r"\s+global$",
+    r"\s+worldwide$",
+]
+
+# Business suffixes stripped when preceded by space/dot at end of string.
+_BUSINESS_SUFFIXES: list[str] = [
+    "inc", "corp", "corporation", "company", "co", "ltd", "limited",
+    "llc", "llp", "lp", "plc", "sa", "ag", "gmbh", "group", "holdings",
+    "services", "solutions", "technologies", "systems",
+]
+
+_SUFFIX_RE = r"[\s.]+(" + "|".join(_BUSINESS_SUFFIXES) + r")\.?$"
+
+# Stopwords removed to form the third matching variant (config-equivalent of
+# /root/reference/src/matching_engine.py:72-75).
+_VARIANT_STOPWORDS = ["the", "and", "&", "group", "international", "global", "services"]
+
+MIN_MATCH_LENGTH = 3        # /root/reference/src/config.py:27
+FUZZY_THRESHOLD = 0.85      # /root/reference/src/config.py:26
+
+
+def normalize_name_col(col: Column) -> Column:
+    """Spark-native chain equivalent to the reference normalizer.
+
+    null → '' ; lowercase+trim ; ordered location-pattern removal ;
+    one business-suffix strip pass ; whitespace collapse.
+    """
+    c = F.lower(F.trim(F.coalesce(col.cast("string"), F.lit(""))))
+    for pat in _LOCATION_PATTERNS:
+        c = F.regexp_replace(c, pat, "")
+    c = F.regexp_replace(c, _SUFFIX_RE, "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def normalize_name_py(value: str | None) -> str:
+    """Pure-Python twin of :func:`normalize_name_col` (unit-test oracle)."""
+    if value is None or not isinstance(value, str):
+        return ""
+    c = value.strip().lower()
+    for pat in _LOCATION_PATTERNS:
+        c = re.sub(pat, "", c)
+    c = re.sub(_SUFFIX_RE, "", c)
+    return re.sub(r"\s+", " ", c).strip()
+
+
+def variants_col(raw: Column, normalized: Column) -> Column:
+    """Ordered, de-duplicated matching variants (P2 with fixed order).
+
+    Returns ``array<struct<priority:int, variant:string>>``; priority 0 =
+    normalized form, 1 = stopword-stripped form. Empty array when the
+    normalized form is shorter than MIN_MATCH_LENGTH — mirrors the
+    reference's ``len < 3 → []`` guard.
+    """
+    stop_pat = (
+        r"\b(" + "|".join(re.escape(w) for w in _VARIANT_STOPWORDS if w != "&") + r")\b|&"
+    )
+    stripped = F.trim(F.regexp_replace(F.regexp_replace(normalized, stop_pat, " "), r"\s+", " "))
+    arr = F.array(
+        F.struct(F.lit(0).alias("priority"), normalized.alias("variant")),
+        F.struct(F.lit(1).alias("priority"), stripped.alias("variant")),
+    )
+    arr = F.filter(arr, lambda s: F.length(s["variant"]) >= MIN_MATCH_LENGTH)
+    # de-dup keeping lowest priority per variant string
+    arr = F.array_distinct(arr)
+    return F.when(F.length(normalized) >= MIN_MATCH_LENGTH, arr).otherwise(
+        F.array().cast("array<struct<priority:int,variant:string>>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL → normalized domain (blocking key #1)
+# ---------------------------------------------------------------------------
+
+def normalized_domain_col(url: Column) -> Column:
+    """Lowercased host of the url with a leading ``www.`` stripped.
+
+    Pure native expression → whole-stage codegen; pushes through the scan.
+    """
+    host = F.regexp_extract(F.lower(url), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    host = F.when(host == "", F.regexp_extract(F.lower(url), r"^([^/:?#]+)", 1)).otherwise(host)
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extractor (pinned pure algorithm; byte-identical per url)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_STYLE_RE = re.compile(
+    rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.DOTALL | re.IGNORECASE
+)
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+_ENTITIES = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'",
+    "&apos;": "'", "&nbsp;": " ",
+}
+
+
+def extract_text_py(html: bytes | None) -> str:
+    """Deterministic HTML→text: drop script/style/comments, strip tags,
+    decode the 7 core entities, collapse whitespace. Pinned — no external
+    parser, so output never drifts across library versions.
+    """
+    if html is None:
+        return ""
+    raw = _SCRIPT_STYLE_RE.sub(b" ", html)
+    raw = _COMMENT_RE.sub(b" ", raw)
+    raw = _TAG_RE.sub(b" ", raw)
+    text = raw.decode("utf-8", errors="replace")
+    for ent, ch in _ENTITIES.items():
+        text = text.replace(ent, ch)
+    return _WS_RE.sub(" ", text).strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched wrapper around :func:`extract_text_py`."""
+    return html.map(extract_text_py)
+
+
+def with_extracted(df, url_col: str = "url", html_col: str = "html"):
+    """Add ``extracted_text`` + ``norm_domain`` columns to a pages frame."""
+    return df.withColumn("extracted_text", extract_text_udf(F.col(html_col))).withColumn(
+        "norm_domain", normalized_domain_col(F.col(url_col))
+    )

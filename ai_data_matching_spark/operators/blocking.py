@@ -1,0 +1,215 @@
+"""Phase 1 — blocking: exact matches + candidate-pair generation.
+
+Graft analog of the reference's two-phase cascade:
+
+* reference phase-1 hash join on name variants
+  (/root/reference/src/matching_engine.py:81-137) → here: **exact groups**
+  on (norm_domain, simhash64) — equal sketch ⇒ score-1.0 'exact' linkage.
+  Implemented as a groupBy emitting star edges (member → group-min), NOT a
+  quadratic self-join: an exact group of size g yields g-1 edges, which is
+  what keeps mega-duplicate clusters (the 100 TB reality) linear.
+* reference leftover anti-join (/root/reference/src/matching_engine.py:129-133)
+  → candidate pairs that are NOT exact go to phase-2 scoring.
+
+Skew handling ("explicit skew splitting of hot domains", BASELINE.json):
+
+* Block keys = normalized domain + simhash LSH bands. A frequency scan
+  finds keys whose block size exceeds ``max_block_size``; those keys are
+  EXCLUDED from pairwise candidate generation (a blogspot.com-sized block
+  would otherwise generate O(g²) pairs) and reported in an overflow
+  metric. Recall inside hot domains comes from the simhash band keys,
+  which only collide for textually-near pages.
+* ``salted_equijoin`` is the generic salted hash join used wherever a
+  many-to-one join hits a hot key (e.g. attaching per-key block stats or
+  cluster labels back to pages): the hot keys on the fact side get a
+  random-but-deterministic salt, the dim side is replicated across salts.
+  AQE skew-join handles moderate skew; this handles the pathological tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..extract import normalized_domain_col
+from ..functions.hashing import (
+    minhash_band_keys,
+    minhash_signature,
+    simhash64,
+    simhash_bands,
+    tokens_col,
+    word_shingles,
+)
+
+DEFAULT_MAX_BLOCK_SIZE = 64
+
+
+def with_blocking_keys(
+    pages: DataFrame,
+    text_col: str = "norm_text",
+    url_col: str = "url",
+    n_simhash_bands: int = 4,
+    minhash_k: int = 16,
+    use_minhash_bands: bool = False,
+) -> DataFrame:
+    """Add sketch + blocking-key columns to a normalized pages frame.
+
+    Adds: ``norm_domain``, ``simhash``, ``minhash_sig``, ``block_keys``
+    (array<string>: domain key + simhash band keys [+ minhash band keys]).
+    All native expressions — one narrow projection, no shuffle.
+    """
+    toks = tokens_col(F.col(text_col))
+    sh = word_shingles(toks, k=3)
+    df = (
+        pages.withColumn("norm_domain", normalized_domain_col(F.col(url_col)))
+        .withColumn("_shingles", sh)
+        .withColumn("simhash", simhash64(F.col("_shingles")))
+        .withColumn("minhash_sig", minhash_signature(F.col("_shingles"), k=minhash_k))
+        .drop("_shingles")
+    )
+    block_keys = F.concat(
+        F.array(F.concat(F.lit("dom:"), F.col("norm_domain"))),
+        simhash_bands(F.col("simhash"), n_simhash_bands),
+    )
+    if use_minhash_bands:
+        block_keys = F.concat(block_keys, minhash_band_keys(F.col("minhash_sig")))
+    return df.withColumn("block_keys", block_keys)
+
+
+def exact_match_edges(blocked: DataFrame, url_col: str = "url") -> DataFrame:
+    """Exact phase: identical (norm_domain, simhash) ⇒ same entity.
+
+    Returns star edges ``(src, dst, score=1.0, match_type='exact')`` where
+    dst = lexicographic min url of the exact group. Linear in group size.
+    """
+    grp = (
+        blocked.groupBy("norm_domain", "simhash")
+        .agg(F.min(url_col).alias("_rep"), F.collect_list(url_col).alias("_members"))
+        .filter(F.size("_members") > 1)
+    )
+    return (
+        grp.select(F.explode("_members").alias("src"), F.col("_rep").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("score", F.lit(1.0))
+        .withColumn("match_type", F.lit("exact"))
+    )
+
+
+def hot_keys(exploded_keys: DataFrame, max_block_size: int) -> DataFrame:
+    """Frequency scan over exploded (block_key, url): keys above the cap.
+
+    Map-side partial aggregation makes this one cheap shuffle of
+    (key, count) — NOT of the raw rows.
+    """
+    return (
+        exploded_keys.groupBy("block_key")
+        .agg(F.count("*").alias("block_size"))
+        .filter(F.col("block_size") > max_block_size)
+    )
+
+
+def candidate_pairs(
+    blocked: DataFrame,
+    url_col: str = "url",
+    text_col: str = "norm_text",
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+) -> tuple[DataFrame, DataFrame]:
+    """Generate deduplicated within-block candidate pairs.
+
+    Returns ``(pairs, overflow)``:
+
+    * pairs — (url_a, url_b, text_a, text_b, sig_a, sig_b) with
+      url_a < url_b, distinct across blocks.
+    * overflow — (block_key, block_size) for skew-split (skipped) keys,
+      persisted as a metric so dropped coverage is visible, never silent.
+
+    The self-join is an equi-join on block_key; the ``url_a < url_b``
+    predicate halves the output and removes self-pairs. Keys larger than
+    ``max_block_size`` are excluded *before* the join (skew splitting).
+    """
+    sel = blocked.select(
+        F.col(url_col).alias("url"),
+        F.col(text_col).alias("norm_text"),
+        F.col("minhash_sig"),
+        F.explode("block_keys").alias("block_key"),
+    )
+    hot = hot_keys(sel.select("block_key", "url"), max_block_size)
+    cold = sel.join(F.broadcast(hot.select("block_key")), "block_key", "left_anti")
+
+    a = cold.select(
+        F.col("block_key"),
+        F.col("url").alias("url_a"),
+        F.col("norm_text").alias("text_a"),
+        F.col("minhash_sig").alias("sig_a"),
+    )
+    b = cold.select(
+        F.col("block_key"),
+        F.col("url").alias("url_b"),
+        F.col("norm_text").alias("text_b"),
+        F.col("minhash_sig").alias("sig_b"),
+    )
+    pairs = (
+        a.join(b, "block_key")
+        .filter(F.col("url_a") < F.col("url_b"))
+        .drop("block_key")
+        .dropDuplicates(["url_a", "url_b"])
+    )
+    return pairs, hot
+
+
+def route_unmatched(pairs: DataFrame, exact_edges: DataFrame) -> DataFrame:
+    """Anti-join routing (reference J2): drop candidate pairs already
+    linked by the exact phase (both endpoints in the same exact group)."""
+    exact_map = exact_edges.select(F.col("src").alias("url"), F.col("dst").alias("rep"))
+    # rep(u) = exact-group representative or u itself
+    with_a = pairs.join(
+        exact_map.withColumnRenamed("url", "url_a").withColumnRenamed("rep", "rep_a"),
+        "url_a",
+        "left",
+    )
+    with_b = with_a.join(
+        exact_map.withColumnRenamed("url", "url_b").withColumnRenamed("rep", "rep_b"),
+        "url_b",
+        "left",
+    )
+    ra = F.coalesce(F.col("rep_a"), F.col("url_a"))
+    rb = F.coalesce(F.col("rep_b"), F.col("url_b"))
+    return with_b.filter(ra != rb).drop("rep_a", "rep_b")
+
+
+def salted_equijoin(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    hot_key_threshold: int = 100_000,
+) -> DataFrame:
+    """Inner equi-join robust to pathological key skew on the fact side.
+
+    Keys whose fact-side frequency exceeds ``hot_key_threshold`` get a
+    per-row deterministic salt ``pmod(xxhash64(all fact columns), n_salt)``;
+    the dim side is replicated across all salts for those keys only.
+    Cold keys join on salt 0 with a single dim copy — so the blow-up is
+    limited to the hot tail. Result equals ``fact.join(dim, key)`` exactly
+    (verified by tests/test_blocking.py round-trip).
+    """
+    freq = fact.groupBy(key).agg(F.count("*").alias("_f")).filter(F.col("_f") > hot_key_threshold)
+    hot = F.broadcast(freq.select(key, F.lit(True).alias("_hot")))
+
+    f = fact.join(hot, key, "left").withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt)).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("_hot")
+
+    d_hot = (
+        dim.join(hot, key, "inner")
+        .drop("_hot")
+        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    )
+    d_cold = dim.join(hot, key, "left_anti").withColumn("_salt", F.lit(0))
+    d = d_hot.unionByName(d_cold)
+
+    return f.join(d, [key, "_salt"]).drop("_salt")

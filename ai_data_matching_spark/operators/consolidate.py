@@ -1,0 +1,74 @@
+"""Entity consolidation — graft analog of the reference's rollups.
+
+* ``consolidate_clusters`` mirrors RelationshipMapper's per-entity rollup
+  (/root/reference/src/relationship_mapper.py:20-123, A3): one row per
+  resolved entity with counts, representative fields, member details, and
+  a match-quality flag ('Exact' if any exact edge touched the cluster).
+* ``match_statistics`` mirrors get_match_statistics
+  (/root/reference/src/matching_engine.py:331-353, A4).
+
+The comma-joined-sorted-set string columns reproduce the reference's
+presentation form (`', '.join(sorted(set(...)))`,
+relationship_mapper.py:97-99) while the raw arrays are kept too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def consolidate_clusters(
+    assigned: DataFrame,
+    edges: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """One row per cluster: size, representative url (min), domains,
+    languages, time range, member list, match quality."""
+    match_q = (
+        edges.select(F.explode(F.array("src", "dst")).alias(url_col), "match_type")
+        .groupBy(url_col)
+        .agg(F.max(F.col("match_type") == "exact").alias("_any_exact"))
+    )
+    df = assigned.join(match_q, url_col, "left")
+    return (
+        df.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.min(url_col).alias("representative_url"),
+            F.array_join(F.sort_array(F.collect_set("norm_domain")), ", ").alias("domains"),
+            F.array_join(F.sort_array(F.collect_set("lang")), ", ").alias("langs"),
+            F.min("warc_ts").alias("first_seen"),
+            F.max("warc_ts").alias("last_seen"),
+            F.collect_list(F.struct(F.col(url_col), F.col("warc_ts"))).alias("members"),
+            F.when(F.max(F.coalesce(F.col("_any_exact"), F.lit(False))), F.lit("Exact"))
+            .otherwise(F.lit("Fuzzy"))
+            .alias("match_quality"),
+        )
+    )
+
+
+def match_statistics(assigned: DataFrame, edges: DataFrame) -> DataFrame:
+    """Headline metrics row: pages, clusters, duplicate pages, match rate,
+    edge counts by type (reference A4 semantics over the graft domain)."""
+    n_pages = assigned.count()
+    n_clusters = assigned.select("cluster_id").distinct().count()
+    by_type = {
+        r["match_type"]: r["n"]
+        for r in edges.groupBy("match_type").agg(F.count("*").alias("n")).collect()
+    }
+    dup_pages = n_pages - n_clusters
+    spark = assigned.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_pages,
+                n_clusters,
+                dup_pages,
+                round(dup_pages / n_pages * 100.0, 2) if n_pages else 0.0,
+                int(by_type.get("exact", 0)),
+                int(by_type.get("fuzzy", 0)),
+            )
+        ],
+        "n_pages long, n_clusters long, n_duplicate_pages long, duplicate_rate_pct double, n_exact_edges long, n_fuzzy_edges long",
+    )

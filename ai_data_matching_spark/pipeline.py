@@ -1,0 +1,155 @@
+"""End-to-end record-linkage pipeline: extract → block → score → cluster
+→ consolidate, with per-stage snapshot checkpoints + metrics.
+
+Mirrors the reference lifecycle (/root/reference/app.py:798-824 →
+matching_engine.match_vendors_to_clients → relationship_mapper) as five
+committed Spark stages; a killed run resumes from the last committed
+snapshot (BASELINE.json north_rule). Ships to a cluster as
+``spark-submit --py-files ai_data_matching_spark.zip cli.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import FUZZY_THRESHOLD, normalize_name_col, with_extracted
+from .operators.blocking import (
+    DEFAULT_MAX_BLOCK_SIZE,
+    candidate_pairs,
+    exact_match_edges,
+    route_unmatched,
+    with_blocking_keys,
+)
+from .operators.clustering import cluster_assignments, connected_components
+from .operators.consolidate import consolidate_clusters, match_statistics
+from .operators.scoring import fuzzy_match_edges, score_histogram, score_pairs, union_edges
+from .sources.tables import TableIO, config_fingerprint
+
+
+@dataclass
+class PipelineConfig:
+    fuzzy_threshold: float = FUZZY_THRESHOLD
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE
+    n_simhash_bands: int = 4
+    minhash_k: int = 16
+    best_match_only: bool = True
+
+
+@dataclass
+class PipelineResult:
+    assigned: DataFrame      # pages + cluster_id
+    clusters: DataFrame      # consolidated entity rollup
+    edges: DataFrame         # exact ∪ fuzzy pair graph
+    stats: DataFrame         # headline match statistics
+    resumed_stages: list[str]
+    cc_iterations: int
+
+
+STAGES = ["extract", "blocked", "exact_edges", "scored", "edges", "labels"]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    io: TableIO | None = None,
+    cfg: PipelineConfig | None = None,
+) -> PipelineResult:
+    """Run (or resume) the full pipeline. ``pages`` must carry
+    (url, warc_ts, html, text, lang). When ``io`` is given every stage is
+    committed as a snapshot and reused on re-run with the same config."""
+    cfg = cfg or PipelineConfig()
+    fp = config_fingerprint(asdict(cfg))
+    resumed: list[str] = []
+
+    def stage(name: str, compute) -> DataFrame:
+        if io is None:
+            return compute()
+        df, was_resumed = io.read_or_compute(spark, name, fp, compute)
+        if was_resumed:
+            resumed.append(name)
+        return df
+
+    # stage 1 — extract + normalize (pandas UDF for html→text, native rest)
+    def _extract() -> DataFrame:
+        df = with_extracted(pages)
+        return df.withColumn("norm_text", normalize_name_col(F.col("extracted_text")))
+
+    extracted = stage("extract", _extract)
+
+    # stage 2 — sketches + blocking keys (narrow, no shuffle)
+    blocked = stage(
+        "blocked",
+        lambda: with_blocking_keys(
+            extracted, n_simhash_bands=cfg.n_simhash_bands, minhash_k=cfg.minhash_k
+        ),
+    )
+
+    # stage 3 — phase-1 exact star edges
+    exact = stage("exact_edges", lambda: exact_match_edges(blocked))
+
+    # stage 4 — candidates (skew-split) + vectorized scoring
+    def _scored() -> DataFrame:
+        pairs, overflow = candidate_pairs(blocked, max_block_size=cfg.max_block_size)
+        if io is not None:
+            io.write_metric(overflow, "scored", "block_overflow")
+        routed = route_unmatched(pairs, exact)
+        return score_pairs(routed).drop("sig_a", "sig_b", "text_a", "text_b")
+
+    scored = stage("scored", _scored)
+    if io is not None:
+        io.write_metric(score_histogram(scored), "scored", "score_histogram")
+
+    # stage 5 — edge union
+    def _edges() -> DataFrame:
+        fuzzy = fuzzy_match_edges(
+            scored, threshold=cfg.fuzzy_threshold, best_match_only=cfg.best_match_only
+        )
+        return union_edges(exact, fuzzy)
+
+    edges = stage("edges", _edges)
+
+    # stage 6 — connected components (iterative; each iter checkpointed)
+    cc_iters = 0
+
+    def _labels() -> DataFrame:
+        nonlocal cc_iters
+        labels, cc_iters = connected_components(edges)
+        return labels
+
+    labels = stage("labels", _labels)
+
+    assigned = cluster_assignments(extracted.drop("html"), labels)
+    clusters = consolidate_clusters(assigned, edges)
+    stats = match_statistics(assigned, edges)
+    if io is not None:
+        io.write_metric(stats, "final", "match_statistics")
+
+    return PipelineResult(
+        assigned=assigned,
+        clusters=clusters,
+        edges=edges,
+        stats=stats,
+        resumed_stages=resumed,
+        cc_iterations=cc_iters,
+    )
+
+
+def pairwise_f1(assigned: DataFrame, labeled_pairs: DataFrame) -> dict[str, float]:
+    """Pairwise P/R/F1 of predicted co-clustering against labeled pairs
+    (evaluated at the labels' fixed blocking key, per BASELINE.json)."""
+    a = assigned.select(F.col("url").alias("url_a"), F.col("cluster_id").alias("c_a"))
+    b = assigned.select(F.col("url").alias("url_b"), F.col("cluster_id").alias("c_b"))
+    j = labeled_pairs.join(a, "url_a").join(b, "url_b")
+    agg = j.agg(
+        F.sum(F.when((F.col("c_a") == F.col("c_b")) & F.col("label"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("c_a") == F.col("c_b")) & ~F.col("label"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("c_a") != F.col("c_b")) & F.col("label"), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = int(agg["tp"]), int(agg["fp"]), int(agg["fn"])
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"precision": precision, "recall": recall, "f1": f1, "tp": tp, "fp": fp, "fn": fn}

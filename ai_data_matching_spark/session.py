@@ -1,0 +1,70 @@
+"""SparkSession factory tuned for the record-linkage workload.
+
+Settings chosen for scale (AQE + skew-join for hot blocking keys, Arrow for
+pandas-UDF transfer) — the same conf block ships to a real cluster via
+``spark-submit --py-files``; only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip this package for worker shipping (the local-mode equivalent of
+    ``spark-submit --py-files ai_data_matching_spark.zip``)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "ai_data_matching_spark.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    return out
+
+
+def build_session(
+    app_name: str = "ai-data-matching-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's standard conf.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``);
+    on a real cluster pass ``None`` and let spark-submit supply it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_s = os.environ.get("SPARK_GRAFT_CPUS", "")
+        shuffle_partitions = int(cpus_s) if cpus_s.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # ship the package so Python workers can unpickle our UDFs no matter
+    # where the driver script lives (same mechanism as --py-files)
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

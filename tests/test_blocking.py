@@ -1,0 +1,75 @@
+"""Blocking: sketch determinism, exact-group edges, hot-key skew
+splitting, salted-join round-trip (SURVEY §4 custom work items 1 & 3)."""
+
+from pyspark.sql import functions as F
+
+from ai_data_matching_spark.operators.blocking import (
+    candidate_pairs,
+    exact_match_edges,
+    salted_equijoin,
+    with_blocking_keys,
+)
+
+
+def _blocked(spark):
+    rows = [
+        ("http://a.com/1", "alpha beta gamma delta epsilon zeta", "en"),
+        ("http://www.a.com/2", "alpha beta gamma delta epsilon zeta", "en"),  # exact dup
+        ("http://a.com/3", "alpha beta gamma delta epsilon QQQ", "en"),       # near dup
+        ("http://b.com/1", "totally different words here now ok", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, norm_text string, lang string")
+    return with_blocking_keys(df)
+
+
+def test_simhash_deterministic_and_near(spark):
+    b = _blocked(spark).select("url", "simhash").collect()
+    sh = {r["url"]: r["simhash"] for r in b}
+    assert sh["http://a.com/1"] == sh["http://www.a.com/2"]  # identical text
+    # near-duplicate text → small hamming distance
+    ham = bin((sh["http://a.com/1"] ^ sh["http://a.com/3"]) & (2**64 - 1)).count("1")
+    assert ham < 24
+    # unrelated text → large distance
+    ham2 = bin((sh["http://a.com/1"] ^ sh["http://b.com/1"]) & (2**64 - 1)).count("1")
+    assert ham2 > ham
+
+
+def test_exact_match_edges_star_shape(spark):
+    blocked = _blocked(spark)
+    edges = exact_match_edges(blocked).collect()
+    assert len(edges) == 1
+    e = edges[0]
+    assert e["src"] == "http://www.a.com/2" and e["dst"] == "http://a.com/1"
+    assert e["score"] == 1.0 and e["match_type"] == "exact"
+
+
+def test_candidate_pairs_and_hot_key_exclusion(spark):
+    # one hot domain with 30 unrelated pages + one small domain pair
+    hot = [(f"http://hub.com/{i}", f"unique text number {i} padding words", "en") for i in range(30)]
+    cold = [
+        ("http://c.com/1", "shared cold text one two three", "en"),
+        ("http://c.com/2", "shared cold text one two four", "en"),
+    ]
+    df = spark.createDataFrame(hot + cold, "url string, norm_text string, lang string")
+    blocked = with_blocking_keys(df)
+    pairs, overflow = candidate_pairs(blocked, max_block_size=10)
+    ov = {r["block_key"] for r in overflow.collect()}
+    assert "dom:hub.com" in ov
+    got = {(r["url_a"], r["url_b"]) for r in pairs.collect()}
+    assert ("http://c.com/1", "http://c.com/2") in got
+    # no dom-key pairs from the hot domain (band collisions may still pair a few)
+    assert len(got) < 30
+
+
+def test_salted_join_round_trips(spark):
+    fact = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame(
+        [("0", "zero"), ("1", "one"), ("2", "two")], "k string, name string"
+    )
+    plain = fact.join(dim, "k").select("k", "v", "name")
+    salted = salted_equijoin(fact, dim, "k", n_salt=4, hot_key_threshold=100)
+    assert salted.count() == plain.count()
+    assert salted.select("k", "v", "name").exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted.select("k", "v", "name")).count() == 0
