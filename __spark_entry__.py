@@ -1,38 +1,635 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2 +
+training-data extras) over the driver-provided parquet tables;
+``oracle_sql()`` gives DuckDB-equivalent SQL for every SQL-expressible
+query. Hash-based sketch operators (xxhash64-backed minhash/simhash/
+fingerprint/LSH) have no DuckDB twin → rows-only checks.
+
+Column names are aliased identically on both sides; float aggregates are
+rounded on both sides so value-hashes match bit-for-bit.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_data_matching_spark.extract import (
+    _LOCATION_PATTERNS,
+    _SUFFIX_RE,
+    normalize_name_col,
+    variants_col,
+)
+from ai_data_matching_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    subword_count_est,
+    token_count,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared expressions (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _norm(col):
+    return normalize_name_col(col)
+
+
+def _block_key(norm_col):
+    """First two tokens of the normalized text — the demo blocking key."""
+    return F.array_join(F.slice(F.split(norm_col, " "), 1, 2), " ")
+
+
+def _with_norm(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("norm_text", _norm(F.col("text")))
+
+
+# shared SQL fragments (DuckDB side) — built from the SAME pattern constants
+# as the Spark expressions so the chains can't drift apart.
+
+
+def _norm_sql(col: str) -> str:
+    expr = f"lower(trim(coalesce(cast({col} AS varchar), '')))"
+    for pat in _LOCATION_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '', 'g')"
+    expr = f"regexp_replace({expr}, '{_SUFFIX_RE}', '', 'g')"
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+_BLOCK_KEY_SQL = "array_to_string(list_slice(string_split(norm_text, ' '), 1, 2), ' ')"
+
+_STOP_PAT = r"\b(the|and|group|international|global|services)\b|&"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_p1_normalize(spark, sf_dir):
+    return _with_norm(_t(spark, sf_dir, "documents")).select("doc_id", "norm_text")
+
+
+def q_p2_variants(spark, sf_dir):
+    d = _with_norm(_t(spark, sf_dir, "documents"))
+    v = d.select("doc_id", F.explode(variants_col(F.col("text"), F.col("norm_text"))).alias("v"))
+    return v.select(
+        "doc_id", F.col("v.priority").alias("priority"), F.col("v.variant").alias("variant")
+    )
+
+
+def q_j1_exact_block_join(spark, sf_dir):
+    d = _with_norm(_t(spark, sf_dir, "documents")).withColumn(
+        "block_key", _block_key(F.col("norm_text"))
+    )
+    a = d.select(F.col("lang"), F.col("block_key"), F.col("doc_id").alias("doc_id_a"))
+    b = d.select(F.col("lang"), F.col("block_key"), F.col("doc_id").alias("doc_id_b"))
+    return (
+        a.join(b, ["lang", "block_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "block_key")
+    )
+
+
+def q_j2_unmatched_antijoin(spark, sf_dir):
+    pairs = q_j1_exact_block_join(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    matched = pairs.select(F.col("doc_id_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_id_b").alias("doc_id"))
+    )
+    return d.join(matched, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+def q_j3_fuzzy_scored_pairs(spark, sf_dir):
+    d = _with_norm(_t(spark, sf_dir, "documents")).withColumn(
+        "prefix", F.substring(F.col("norm_text"), 1, 60)
+    )
+    a = d.select("lang", "source", F.col("doc_id").alias("doc_id_a"), F.col("prefix").alias("pa"))
+    b = d.select("lang", "source", F.col("doc_id").alias("doc_id_b"), F.col("prefix").alias("pb"))
+    lev = F.levenshtein(F.col("pa"), F.col("pb"))
+    mx = F.greatest(F.length("pa"), F.length("pb"), F.lit(1))
+    sim = F.round(F.lit(1.0) - lev.cast("double") / mx.cast("double"), 6)
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("lev_sim", sim)
+        .filter(F.col("lev_sim") >= 0.3)
+        .select("doc_id_a", "doc_id_b", "lev_sim")
+    )
+
+
+def q_o3_best_match_per_doc(spark, sf_dir):
+    pairs = q_j3_fuzzy_scored_pairs(spark, sf_dir)
+    w = Window.partitionBy("doc_id_a").orderBy(F.desc("lev_sim"), F.asc("doc_id_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id_a", "doc_id_b", "lev_sim")
+    )
+
+
+def q_a2_consolidate_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.array_join(F.sort_array(F.collect_set("source")), ", ").alias("sources"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_a3_cluster_rollup(spark, sf_dir):
+    d = _with_norm(_t(spark, sf_dir, "documents")).withColumn(
+        "block_key", _block_key(F.col("norm_text"))
+    )
+    return d.groupBy("block_key").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("rep_doc_id"),
+        F.array_join(F.sort_array(F.collect_set("lang")), ", ").alias("langs"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from ai_data_matching_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from ai_data_matching_spark.operators.dedup import duplicate_pairs_ngram_jaccard
+
+    return duplicate_pairs_ngram_jaccard(
+        _t(spark, sf_dir, "documents"), threshold=0.02, shingle_k=3
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        subword_count_est(F.col("text")).cast("long").alias("n_subwords"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):  # rows-only (xxhash64)
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):  # rows-only (xxhash64)
+    from ai_data_matching_spark.operators.dedup import duplicate_pairs_minhash_lsh
+
+    return duplicate_pairs_minhash_lsh(_t(spark, sf_dir, "documents"), jaccard_threshold=0.2)
+
+
+def q_simhash_near_pairs(spark, sf_dir):  # rows-only (xxhash64)
+    from ai_data_matching_spark.operators.dedup import duplicate_pairs_simhash
+
+    return duplicate_pairs_simhash(_t(spark, sf_dir, "documents"), max_hamming=16)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from ai_data_matching_spark.operators.similarity_search import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return cosine_topk_bruteforce(emb, queries, k=3)
+
+
+def q_ann_lsh_topk(spark, sf_dir):  # rows-only (hash-derived hyperplanes)
+    from ai_data_matching_spark.operators.similarity_search import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return cosine_topk_lsh(emb, queries, k=3, bits=4, n_tables=12)
+
+
+def q_mm_binary_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.hex(F.encode(F.substring(F.col("text"), 1, 4), "UTF-8")).alias("magic_hex"),
+    )
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_q3_top_revenue_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    j = rev.join(o, rev["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        j.select("o_orderkey", "c_name", "revenue")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("o_orderkey", "c_name", "revenue", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_p7_currency_convert(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ccy = (
+        F.when(F.col("o_custkey") % 5 == 0, F.lit("USD"))
+        .when(F.col("o_custkey") % 5 == 1, F.lit("EUR"))
+        .when(F.col("o_custkey") % 5 == 2, F.lit("GBP"))
+        .when(F.col("o_custkey") % 5 == 3, F.lit("JPY"))
+        .otherwise(F.lit("INR"))
+    )
+    rates = spark.createDataFrame(
+        [("USD", 1.0), ("EUR", 0.92), ("GBP", 0.79), ("JPY", 151.0), ("INR", 83.0)],
+        "currency string, rate double",
+    )
+    with_ccy = o.withColumn("currency", ccy)
+    return (
+        with_ccy.join(F.broadcast(rates), "currency")
+        .withColumn("total_usd", F.round(F.col("o_totalprice") / F.col("rate"), 2))
+        .select("o_orderkey", "currency", "total_usd")
+    )
+
+
+def q_p3_extract_numeric(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cleaned = F.regexp_replace(F.col("props"), r"[$€£,\s]", "")
+    num = F.regexp_extract(cleaned, r"-?\d+\.?\d*", 0)
+    return e.select(
+        "event_id",
+        F.coalesce(num.try_cast("double"), F.lit(0.0)).alias("props_num"),
+    )
+
+
+def q_o2_top_event_per_user(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+def q_u1_union_parties(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("party_type")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("party_type")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey", "party_type")
+        .agg(F.count("*").alias("n_parties"))
+    )
+
+
+def q_p11_classification(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = _t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    j = c.join(s, c["c_nationkey"] == s["s_nationkey"], "full").select(
+        F.coalesce(c["c_nationkey"], s["s_nationkey"]).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+    ratio = F.col("n_cust").cast("double") / F.col("n_supp").cast("double")
+    cls = (
+        F.when((F.col("n_cust") > 0) & (F.col("n_supp") == 0), F.lit("Customer Only"))
+        .when((F.col("n_cust") == 0) & (F.col("n_supp") > 0), F.lit("Supplier Only"))
+        .when((F.col("n_cust") == 0) & (F.col("n_supp") == 0), F.lit("Unknown"))
+        .when(ratio > 2.0, F.lit("Customer Heavy"))
+        .when(ratio > 0.5, F.lit("Balanced"))
+        .otherwise(F.lit("Supplier Heavy"))
+    )
+    return j.withColumn("relationship_type", cls)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: mini entity-resolution over the documents table — normalize,
+    block, rollup clusters (the ER pipeline's shape on driver data; the
+    full web-page pipeline incl. CC is exercised in tests/ and bench.py)."""
+    return q_a3_cluster_rollup(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "p1_normalize_text": q_p1_normalize,
+        "p2_blocking_variants": q_p2_variants,
+        "j1_exact_block_join": q_j1_exact_block_join,
+        "j2_unmatched_antijoin": q_j2_unmatched_antijoin,
+        "j3_fuzzy_scored_pairs": q_j3_fuzzy_scored_pairs,
+        "o3_best_match_per_doc": q_o3_best_match_per_doc,
+        "a2_consolidate_by_lang": q_a2_consolidate_by_lang,
+        "a3_cluster_rollup": q_a3_cluster_rollup,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "text_quality": q_text_quality,
+        "lang_id_heuristic": q_lang_id,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "mm_binary_meta": q_mm_binary_meta,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_revenue_orders": q_q3_top_revenue_orders,
+        "p7_currency_convert": q_p7_currency_convert,
+        "p3_extract_numeric": q_p3_extract_numeric,
+        "o2_top_event_per_user": q_o2_top_event_per_user,
+        "u1_union_parties": q_u1_union_parties,
+        "p11_classification": q_p11_classification,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = _norm_sql("text")
+    stripped = (
+        f"trim(regexp_replace(regexp_replace(norm_text, '{_STOP_PAT}', ' ', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    tokens = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    shingles3 = (
+        "CASE WHEN len(w) >= 3 THEN "
+        "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+        "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] ELSE [] END"
+    )
+    # marker-hit count: non-overlapping padded-substring occurrences
+    def hits(words: list[str]) -> str:
+        terms = [
+            f"((length(' ' || lower(text) || ' ') - "
+            f"length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {len(w) + 2})"
+            for w in words
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    en = hits(["the", "and", "of", "to", "is"])
+    de = hits(["der", "und", "die", "ist", "das"])
+    fr = hits(["le", "la", "et", "les", "est"])
+    es = hits(["el", "la", "que", "los", "es"])
+    sw = hits(["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"])
+
+    return {
+        "p1_normalize_text": f"SELECT doc_id, {norm} AS norm_text FROM documents",
+        "p2_blocking_variants": f"""
+            WITH n AS (SELECT doc_id, {norm} AS norm_text FROM documents),
+            s AS (SELECT doc_id, norm_text, {stripped} AS stripped FROM n)
+            SELECT doc_id, 0 AS priority, norm_text AS variant FROM s
+             WHERE length(norm_text) >= 3
+            UNION ALL
+            SELECT doc_id, 1 AS priority, stripped AS variant FROM s
+             WHERE length(norm_text) >= 3 AND stripped <> norm_text AND length(stripped) >= 3
+        """,
+        "j1_exact_block_join": f"""
+            WITH d AS (SELECT doc_id, lang, {norm} AS norm_text FROM documents),
+            k AS (SELECT doc_id, lang, {_BLOCK_KEY_SQL} AS block_key FROM d)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.block_key
+            FROM k a JOIN k b ON a.lang = b.lang AND a.block_key = b.block_key
+            WHERE a.doc_id < b.doc_id
+        """,
+        "j2_unmatched_antijoin": f"""
+            WITH d AS (SELECT doc_id, lang, source, {norm} AS norm_text FROM documents),
+            k AS (SELECT doc_id, lang, {_BLOCK_KEY_SQL} AS block_key FROM d)
+            SELECT d.doc_id, d.lang, d.source FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM k a JOIN k b
+                ON a.lang = b.lang AND a.block_key = b.block_key AND a.doc_id < b.doc_id
+              WHERE a.doc_id = d.doc_id OR b.doc_id = d.doc_id)
+        """,
+        "j3_fuzzy_scored_pairs": f"""
+            WITH d AS (SELECT doc_id, lang, source,
+                              substr({norm}, 1, 60) AS prefix FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   round(1.0 - levenshtein(a.prefix, b.prefix)::double
+                         / greatest(length(a.prefix), length(b.prefix), 1), 6) AS lev_sim
+            FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+            WHERE a.doc_id < b.doc_id
+              AND round(1.0 - levenshtein(a.prefix, b.prefix)::double
+                  / greatest(length(a.prefix), length(b.prefix), 1), 6) >= 0.3
+        """,
+        "o3_best_match_per_doc": f"""
+            WITH d AS (SELECT doc_id, lang, source,
+                              substr({norm}, 1, 60) AS prefix FROM documents),
+            p AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     round(1.0 - levenshtein(a.prefix, b.prefix)::double
+                           / greatest(length(a.prefix), length(b.prefix), 1), 6) AS lev_sim
+              FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+              WHERE a.doc_id < b.doc_id),
+            f AS (SELECT * FROM p WHERE lev_sim >= 0.3),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY doc_id_a ORDER BY lev_sim DESC, doc_id_b) AS rn FROM f)
+            SELECT doc_id_a, doc_id_b, lev_sim FROM r WHERE rn = 1
+        """,
+        "a2_consolidate_by_lang": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::bigint AS total_chars,
+                   string_agg(DISTINCT source, ', ' ORDER BY source) AS sources,
+                   count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "a3_cluster_rollup": f"""
+            WITH d AS (SELECT doc_id, lang, {norm} AS norm_text FROM documents),
+            k AS (SELECT doc_id, lang, {_BLOCK_KEY_SQL} AS block_key FROM d)
+            SELECT block_key, count(*) AS n_docs, min(doc_id) AS rep_doc_id,
+                   string_agg(DISTINCT lang, ', ' ORDER BY lang) AS langs
+            FROM k GROUP BY block_key
+        """,
+        "dedup_exact": """
+            SELECT d.doc_id, d.n_chars FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) reps
+              USING (doc_id)
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, lang, source, {tokens} AS w FROM documents),
+            s AS (SELECT doc_id, lang, source,
+                         list_distinct({shingles3}) AS sh FROM t)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))::double
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+            WHERE a.doc_id < b.doc_id
+              AND round(len(list_intersect(a.sh, b.sh))::double
+                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.02
+        """,
+        "text_quality": f"""
+            WITH t AS (SELECT doc_id, text, {tokens} AS w FROM documents),
+            m AS (SELECT doc_id, text, len(w) AS n_tokens,
+                   CASE WHEN length(text) > 0 THEN
+                     length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g'))::double
+                       / length(text) ELSE 0.0 END AS pr,
+                   CASE WHEN len(w) > 0 THEN
+                     list_sum(list_transform(w, x -> length(x)))::double / len(w)
+                     ELSE 0.0 END AS mwl
+                  FROM t)
+            SELECT doc_id, n_tokens::bigint AS n_tokens,
+                   round(pr, 6) AS punct_ratio,
+                   round(mwl, 6) AS mean_word_len,
+                   round(((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0
+                                WHEN n_tokens > 0 THEN 0.3 ELSE 0.0 END)
+                        + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.2 END)
+                        + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.4 END)) / 3.0, 6) AS quality
+            FROM m
+        """,
+        "lang_id_heuristic": f"""
+            WITH sc AS (SELECT doc_id, lang,
+                          {en} AS s_en, {de} AS s_de, {fr} AS s_fr, {es} AS s_es
+                        FROM documents)
+            SELECT doc_id, lang,
+              CASE
+                WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                ELSE 'es' END AS pred_lang
+            FROM sc
+        """,
+        "token_counts": f"""
+            WITH t AS (SELECT doc_id, text, {tokens} AS w FROM documents)
+            SELECT doc_id, len(w)::bigint AS n_tokens,
+                   (coalesce(list_sum(list_transform(w,
+                       x -> greatest(ceil(length(x) / 6.0)::bigint, 1))), 0)
+                    + length(regexp_replace(text, '[^.,;:!?]', '', 'g')))::bigint AS n_subwords
+            FROM t
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                       WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+              FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM scored)
+            SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM r WHERE rank <= 3
+        """,
+        "mm_binary_meta": """
+            SELECT doc_id, octet_length(encode(text))::bigint AS n_bytes,
+                   hex(encode(substr(text, 1, 4))) AS magic_hex
+            FROM documents
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            WITH rev AS (
+              SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem GROUP BY l_orderkey),
+            j AS (SELECT o.o_orderkey, c.c_name, rev.revenue
+                  FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
+                  JOIN customer c ON o.o_custkey = c.c_custkey),
+            r AS (SELECT *, row_number() OVER
+                    (ORDER BY revenue DESC, o_orderkey) AS rk FROM j)
+            SELECT o_orderkey, c_name, revenue, rk::bigint AS rk FROM r WHERE rk <= 10
+        """,
+        "p7_currency_convert": """
+            WITH cc AS (SELECT o_orderkey, o_totalprice,
+                   CASE o_custkey % 5 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+                        WHEN 2 THEN 'GBP' WHEN 3 THEN 'JPY' ELSE 'INR' END AS currency
+                 FROM orders),
+            rates(currency, rate) AS (VALUES ('USD', 1.0), ('EUR', 0.92),
+                   ('GBP', 0.79), ('JPY', 151.0), ('INR', 83.0))
+            SELECT cc.o_orderkey, cc.currency,
+                   round(cc.o_totalprice / r.rate, 2) AS total_usd
+            FROM cc JOIN rates r USING (currency)
+        """,
+        "p3_extract_numeric": """
+            SELECT event_id,
+                   coalesce(try_cast(regexp_extract(
+                     regexp_replace(props, '[$€£,\\s]', '', 'g'),
+                     '-?\\d+\\.?\\d*', 0) AS double), 0.0) AS props_num
+            FROM events
+        """,
+        "o2_top_event_per_user": """
+            WITH r AS (SELECT user_id, event_id, value, row_number() OVER
+                         (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+                       FROM events)
+            SELECT user_id, event_id, round(value, 6) AS value FROM r WHERE rn = 1
+        """,
+        "u1_union_parties": """
+            SELECT nationkey, party_type, count(*) AS n_parties FROM (
+              SELECT c_nationkey AS nationkey, 'customer' AS party_type FROM customer
+              UNION ALL
+              SELECT s_nationkey AS nationkey, 'supplier' AS party_type FROM supplier)
+            GROUP BY nationkey, party_type
+        """,
+        "p11_classification": """
+            WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+            s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1),
+            j AS (SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+                         coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+                  FROM c FULL JOIN s ON c.c_nationkey = s.s_nationkey)
+            SELECT nationkey, n_cust, n_supp,
+              CASE WHEN n_cust > 0 AND n_supp = 0 THEN 'Customer Only'
+                   WHEN n_cust = 0 AND n_supp > 0 THEN 'Supplier Only'
+                   WHEN n_cust = 0 AND n_supp = 0 THEN 'Unknown'
+                   WHEN n_cust::double / n_supp > 2.0 THEN 'Customer Heavy'
+                   WHEN n_cust::double / n_supp > 0.5 THEN 'Balanced'
+                   ELSE 'Supplier Heavy' END AS relationship_type
+            FROM j
+        """,
+    }

@@ -104,13 +104,16 @@ def variants_col(raw: Column, normalized: Column) -> Column:
         r"\b(" + "|".join(re.escape(w) for w in _VARIANT_STOPWORDS if w != "&") + r")\b|&"
     )
     stripped = F.trim(F.regexp_replace(F.regexp_replace(normalized, stop_pat, " "), r"\s+", " "))
-    arr = F.array(
-        F.struct(F.lit(0).alias("priority"), normalized.alias("variant")),
-        F.struct(F.lit(1).alias("priority"), stripped.alias("variant")),
-    )
+    # stripped variant only when it differs (reference "if changed" guard,
+    # matching_engine.py:72-77) — also deduplicates by construction
+    arr = F.when(
+        stripped != normalized,
+        F.array(
+            F.struct(F.lit(0).alias("priority"), normalized.alias("variant")),
+            F.struct(F.lit(1).alias("priority"), stripped.alias("variant")),
+        ),
+    ).otherwise(F.array(F.struct(F.lit(0).alias("priority"), normalized.alias("variant"))))
     arr = F.filter(arr, lambda s: F.length(s["variant"]) >= MIN_MATCH_LENGTH)
-    # de-dup keeping lowest priority per variant string
-    arr = F.array_distinct(arr)
     return F.when(F.length(normalized) >= MIN_MATCH_LENGTH, arr).otherwise(
         F.array().cast("array<struct<priority:int,variant:string>>")
     )

@@ -87,11 +87,16 @@ def simhash_bands(simhash: Column, n_bands: int = 4) -> Column:
 
 def minhash_signature(shingles: Column, k: int = 16) -> Column:
     """k-perm MinHash signature: sig[i] = min over shingles of
-    xxhash64(shingle, i). Native (transform + array_min per seed)."""
-    sig = [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(k)
-    ]
+    xxhash64(shingle, i). Native (transform + array_min per seed).
+
+    NB: the per-seed lambda must be 1-arg — PySpark passes the array
+    index to 2-arg lambdas, which would silently replace the seed.
+    """
+
+    def seeded(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = [F.array_min(F.transform(shingles, seeded(i))) for i in range(k)]
     return F.array(*sig)
 
 

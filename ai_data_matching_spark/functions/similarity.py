@@ -33,28 +33,34 @@ from pyspark.sql import types as T
 # ---------------------------------------------------------------------------
 
 
-def _lcs_len(a: str, b: str) -> int:
-    """Length of the longest common subsequence (Allison–Dix bit-parallel).
-
-    One Python-bigint row update per char of ``b``; exact, integer-only.
-    """
-    m = len(a)
-    if m == 0 or len(b) == 0:
-        return 0
-    # match bitmasks over `a`
+def _build_masks(a: str) -> dict[str, int]:
     masks: dict[str, int] = {}
     bit = 1
     for ch in a:
         masks[ch] = masks.get(ch, 0) | bit
         bit <<= 1
+    return masks
+
+
+def _lcs_from_masks(masks: dict[str, int], m: int, b: str) -> int:
     full = (1 << m) - 1
     v = full
+    get = masks.get
     for ch in b:
-        p = masks.get(ch, 0)
+        p = get(ch, 0)
         u = v & p
         v = ((v + u) | (v - u)) & full
-    # LCS = number of zero bits in v
     return m - bin(v).count("1")
+
+
+def _lcs_len(a: str, b: str) -> int:
+    """Length of the longest common subsequence (Allison–Dix bit-parallel).
+
+    One Python-bigint row update per char of ``b``; exact, integer-only.
+    """
+    if len(a) == 0 or len(b) == 0:
+        return 0
+    return _lcs_from_masks(_build_masks(a), len(a), b)
 
 
 def indel_distance(a: str, b: str) -> int:
@@ -166,8 +172,26 @@ def _prep(s: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.DoubleType())
 def indel_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """InDel ratio with per-batch mask reuse: candidate pairs arrive
+    grouped by block, so the same probe text recurs — its char bitmasks
+    (the expensive half of the bit-parallel LCS) are built once."""
     a, b = _prep(a), _prep(b)
-    return pd.Series([indel_ratio(x, y) for x, y in zip(a, b)], dtype="float64")
+    cache: dict[str, dict[str, int]] = {}
+    out = []
+    for x, y in zip(a, b):
+        total = len(x) + len(y)
+        if total == 0:
+            out.append(1.0)
+            continue
+        if len(x) == 0 or len(y) == 0:
+            out.append(0.0)
+            continue
+        masks = cache.get(x)
+        if masks is None:
+            masks = cache[x] = _build_masks(x)
+        lcs = _lcs_from_masks(masks, len(x), y)
+        out.append(1.0 - (total - 2 * lcs) / total)
+    return pd.Series(out, dtype="float64")
 
 
 @F.pandas_udf(T.DoubleType())

@@ -51,22 +51,37 @@ def with_blocking_keys(
     n_simhash_bands: int = 4,
     minhash_k: int = 16,
     use_minhash_bands: bool = False,
+    fast_sketches: bool = True,
 ) -> DataFrame:
     """Add sketch + blocking-key columns to a normalized pages frame.
 
     Adds: ``norm_domain``, ``simhash``, ``minhash_sig``, ``block_keys``
     (array<string>: domain key + simhash band keys [+ minhash band keys]).
-    All native expressions — one narrow projection, no shuffle.
+    One narrow projection, no shuffle. ``fast_sketches`` uses the
+    numpy-vectorized Arrow UDF (~20× faster than the interpreted
+    higher-order-function expressions — see functions/sketches.py); set
+    False for the pure-SQL path (no Python workers needed).
     """
-    toks = tokens_col(F.col(text_col))
-    sh = word_shingles(toks, k=3)
-    df = (
-        pages.withColumn("norm_domain", normalized_domain_col(F.col(url_col)))
-        .withColumn("_shingles", sh)
-        .withColumn("simhash", simhash64(F.col("_shingles")))
-        .withColumn("minhash_sig", minhash_signature(F.col("_shingles"), k=minhash_k))
-        .drop("_shingles")
-    )
+    if fast_sketches:
+        from ..functions.sketches import sketch_udf
+
+        df = (
+            pages.withColumn("norm_domain", normalized_domain_col(F.col(url_col)))
+            .withColumn("_sk", sketch_udf(F.col(text_col)))
+            .withColumn("simhash", F.col("_sk.simhash"))
+            .withColumn("minhash_sig", F.col("_sk.minhash_sig"))
+            .drop("_sk")
+        )
+    else:
+        toks = tokens_col(F.col(text_col))
+        sh = word_shingles(toks, k=3)
+        df = (
+            pages.withColumn("norm_domain", normalized_domain_col(F.col(url_col)))
+            .withColumn("_shingles", sh)
+            .withColumn("simhash", simhash64(F.col("_shingles")))
+            .withColumn("minhash_sig", minhash_signature(F.col("_shingles"), k=minhash_k))
+            .drop("_shingles")
+        )
     block_keys = F.concat(
         F.array(F.concat(F.lit("dom:"), F.col("norm_domain"))),
         simhash_bands(F.col("simhash"), n_simhash_bands),

@@ -27,16 +27,20 @@ from ..functions.similarity import (
 )
 
 
-def score_pairs(pairs: DataFrame) -> DataFrame:
+def score_pairs(pairs: DataFrame, all_scores: bool = False) -> DataFrame:
     """Score candidate pairs. Input: (url_a, url_b, text_a, text_b,
-    sig_a, sig_b). Output adds indel / jw / token_set / mh_jaccard and
-    ``score`` (the InDel ratio — the reference's decision statistic)."""
-    scored = (
-        pairs.withColumn("indel", indel_ratio_udf(F.col("text_a"), F.col("text_b")))
-        .withColumn("jw", jaro_winkler_udf(F.col("text_a"), F.col("text_b")))
-        .withColumn("token_set", token_set_ratio_udf(F.col("text_a"), F.col("text_b")))
-        .withColumn("mh_jaccard", minhash_jaccard_est(F.col("sig_a"), F.col("sig_b")))
-    )
+    sig_a, sig_b). Output adds ``indel`` + ``mh_jaccard`` and ``score``
+    (the InDel ratio — the reference's decision statistic,
+    matching_engine.py:190). ``all_scores`` adds Jaro-Winkler and
+    token-set ratio too (extra pandas-UDF passes — diagnostics, not the
+    match decision)."""
+    scored = pairs.withColumn(
+        "indel", indel_ratio_udf(F.col("text_a"), F.col("text_b"))
+    ).withColumn("mh_jaccard", minhash_jaccard_est(F.col("sig_a"), F.col("sig_b")))
+    if all_scores:
+        scored = scored.withColumn(
+            "jw", jaro_winkler_udf(F.col("text_a"), F.col("text_b"))
+        ).withColumn("token_set", token_set_ratio_udf(F.col("text_a"), F.col("text_b")))
     return scored.withColumn("score", F.col("indel"))
 
 

@@ -66,7 +66,10 @@ def run_pipeline(
 
     def stage(name: str, compute) -> DataFrame:
         if io is None:
-            return compute()
+            # no snapshot layer: persist so downstream stages don't
+            # recompute the expensive sketch/UDF expressions (each stage
+            # output is consumed 2-4× by later stages)
+            return compute().persist()
         df, was_resumed = io.read_or_compute(spark, name, fp, compute)
         if was_resumed:
             resumed.append(name)

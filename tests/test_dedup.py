@@ -1,0 +1,77 @@
+"""Dedup operators over the driver-provided documents table + synthetic
+near-dups."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_data_matching_spark.operators.dedup import (
+    dedup_exact,
+    duplicate_pairs_minhash_lsh,
+    duplicate_pairs_ngram_jaccard,
+    duplicate_pairs_simhash,
+    survivors_from_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, base, "en", "web"),
+        (2, base, "en", "web"),                       # exact dup of 1
+        (3, base.replace("gamma", "GAMMA", 2), "en", "web"),  # near dup of 1
+        (4, "completely different text with other words entirely now", "en", "web"),
+        (5, "another unrelated document body goes right here folks", "en", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_dedup_exact_keeps_min_id(neardup_docs):
+    kept = {r["doc_id"] for r in dedup_exact(neardup_docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_dedup_exact_on_real_docs(docs):
+    survivors = dedup_exact(docs)
+    n_docs = docs.count()
+    n_distinct = docs.select("text").distinct().count()
+    assert survivors.count() == n_distinct <= n_docs
+
+
+def test_minhash_lsh_finds_near_dups(neardup_docs):
+    pairs = duplicate_pairs_minhash_lsh(neardup_docs, jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) in got or (2, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_simhash_finds_near_dups(neardup_docs):
+    pairs = duplicate_pairs_simhash(neardup_docs, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(4 in p or 5 in p for p in got)
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert ham[(1, 2)] == 0  # identical text → identical simhash
+
+
+def test_ngram_jaccard_exact_within_block(neardup_docs):
+    pairs = duplicate_pairs_ngram_jaccard(neardup_docs, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.4 <= got[(1, 3)] < 1.0
+
+
+def test_survivors_from_pairs_transitive(neardup_docs):
+    pairs = duplicate_pairs_minhash_lsh(neardup_docs, jaccard_threshold=0.5)
+    survivors = survivors_from_pairs(neardup_docs, pairs)
+    kept = {r["doc_id"] for r in survivors.collect()}
+    # 1,2,3 collapse to 1 (transitively); 4 and 5 survive
+    assert kept == {1, 4, 5}

@@ -1,0 +1,78 @@
+"""Text-analysis functions: native expressions vs hand-computed values."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_data_matching_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    subword_count_est,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to the barn"),
+        (2, "der hund und die katze ist das tier und der vogel"),
+        (3, "le chat et la souris est dans les champs et le jardin"),
+        (4, ""),
+        (5, "zzz qqq xxx"),
+        (6, "Hello, world! This is a test sentence, with punctuation."),
+    ]
+    return spark.createDataFrame(rows, "id long, text string").cache()
+
+
+def _get(tdf, col, _id):
+    return {r["id"]: r["v"] for r in tdf.select("id", col.alias("v")).collect()}[_id]
+
+
+def test_token_count(tdf):
+    assert _get(tdf, token_count(F.col("text")), 1) == 14
+    assert _get(tdf, token_count(F.col("text")), 4) == 0
+
+
+def test_lang_id(tdf):
+    assert _get(tdf, lang_id(F.col("text")), 1) == "en"
+    assert _get(tdf, lang_id(F.col("text")), 2) == "de"
+    assert _get(tdf, lang_id(F.col("text")), 3) == "fr"
+    assert _get(tdf, lang_id(F.col("text")), 4) == "und"
+    assert _get(tdf, lang_id(F.col("text")), 5) == "und"
+
+
+def test_stopword_and_punct_ratio(tdf):
+    # 'the' x3 + 'and' + 'to' = 5 stopword hits of 14 tokens
+    assert _get(tdf, stopword_ratio(F.col("text")), 1) == pytest.approx(5 / 14)
+    assert _get(tdf, punct_ratio(F.col("text")), 1) == 0.0
+    assert _get(tdf, punct_ratio(F.col("text")), 6) > 0.0
+
+
+def test_mean_word_length(tdf):
+    text = "the quick brown fox jumps over the lazy dog and runs to the barn"
+    words = text.split()
+    expected = sum(len(w) for w in words) / len(words)
+    assert _get(tdf, mean_word_length(F.col("text")), 1) == pytest.approx(expected)
+
+
+def test_quality_score_bounds(tdf):
+    vals = [r["v"] for r in tdf.select(quality_score(F.col("text")).alias("v")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert _get(tdf, quality_score(F.col("text")), 1) > _get(tdf, quality_score(F.col("text")), 4)
+
+
+def test_subword_estimate_monotone(tdf):
+    short = _get(tdf, subword_count_est(F.col("text")), 5)
+    long_ = _get(tdf, subword_count_est(F.col("text")), 1)
+    assert long_ > short > 0
+
+
+def test_fingerprint_stability(spark):
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "other words here")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    fps = {r["id"]: r["fp"] for r in df.select("id", doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
