@@ -290,9 +290,9 @@ def q_p7_currency_convert(spark, sf_dir):
         .when(F.col("o_custkey") % 5 == 3, F.lit("JPY"))
         .otherwise(F.lit("INR"))
     )
-    rates = spark.createDataFrame(
-        [("USD", 1.0), ("EUR", 0.92), ("GBP", 0.79), ("JPY", 151.0), ("INR", 83.0)],
-        "currency string, rate double",
+    rates = spark.sql(
+        "SELECT * FROM VALUES ('USD', 1.0D), ('EUR', 0.92D), ('GBP', 0.79D),"
+        " ('JPY', 151.0D), ('INR', 83.0D) AS t(currency, rate)"
     )
     with_ccy = o.withColumn("currency", ccy)
     return (
