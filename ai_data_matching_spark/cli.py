@@ -1,0 +1,102 @@
+"""spark-submit entry point for the record-linkage pipeline.
+
+Cluster form (the north-rule shipping contract):
+
+    spark-submit --master yarn --deploy-mode cluster \
+        --py-files ai_data_matching_spark.zip \
+        -m ai_data_matching_spark.cli \
+        --input iceberg_catalog.db.pages --checkpoint-root s3://bkt/ckpt \
+        --output-prefix iceberg_catalog.db.linkage
+
+Local / sandbox form (no Iceberg jar; parquet-snapshot TableIO gives the
+same commit/resume semantics):
+
+    python -m ai_data_matching_spark.cli --synth-pages 10000 \
+        --checkpoint-root /tmp/ckpt --output-prefix /tmp/out
+
+A killed run re-invoked with the same --checkpoint-root and config
+resumes from the last committed snapshot (stages are fingerprinted by
+their config — see sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="ai-data-matching-spark")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="pages table: parquet path or spark table name")
+    src.add_argument(
+        "--synth-pages", type=int, help="generate a deterministic synth corpus of N pages"
+    )
+    p.add_argument("--seed", type=int, default=42, help="synth corpus seed")
+    p.add_argument("--checkpoint-root", help="TableIO root for stage snapshots + resume")
+    p.add_argument("--output-prefix", help="write assigned/clusters/edges/stats here")
+    p.add_argument("--fuzzy-threshold", type=float, default=None)
+    p.add_argument("--max-block-size", type=int, default=None)
+    p.add_argument("--master", default=None, help="override master (default: spark-submit's)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parse_args(argv if argv is not None else sys.argv[1:])
+
+    from .pipeline import PipelineConfig, run_pipeline
+    from .session import build_session
+    from .sources.tables import TableIO
+
+    spark = build_session(
+        app_name="ai-data-matching-pipeline",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+    if args.synth_pages:
+        from .synth import generate_pages
+
+        pages = generate_pages(spark, args.synth_pages, seed=args.seed).drop("entity_id")
+    elif args.input.endswith(".parquet") or "/" in args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        pages = spark.table(args.input)
+
+    cfg_kwargs = {}
+    if args.fuzzy_threshold is not None:
+        cfg_kwargs["fuzzy_threshold"] = args.fuzzy_threshold
+    if args.max_block_size is not None:
+        cfg_kwargs["max_block_size"] = args.max_block_size
+    cfg = PipelineConfig(**cfg_kwargs)
+
+    io = TableIO(args.checkpoint_root) if args.checkpoint_root else None
+    t0 = time.perf_counter()
+    res = run_pipeline(spark, pages, io=io, cfg=cfg)
+
+    if args.output_prefix:
+        res.assigned.write.mode("overwrite").parquet(f"{args.output_prefix}/assigned.parquet")
+        res.clusters.write.mode("overwrite").parquet(f"{args.output_prefix}/clusters.parquet")
+        res.edges.write.mode("overwrite").parquet(f"{args.output_prefix}/edges.parquet")
+        res.stats.write.mode("overwrite").parquet(f"{args.output_prefix}/stats.parquet")
+    else:
+        res.assigned.write.format("noop").mode("overwrite").save()
+
+    stats = {r["key"] if "key" in r else i: r.asDict() for i, r in enumerate(res.stats.collect())}
+    summary = {
+        "seconds": round(time.perf_counter() - t0, 2),
+        "resumed_stages": res.resumed_stages,
+        "cc_iterations": res.cc_iterations,
+        "stats": stats,
+    }
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

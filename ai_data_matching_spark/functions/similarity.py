@@ -24,6 +24,7 @@ vectorized UDF batches).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -170,11 +171,38 @@ def _prep(s: pd.Series) -> pd.Series:
     return s.fillna("").str.slice(0, MAX_SCORE_CHARS)
 
 
+def _trim_common_affixes(x: str, y: str) -> tuple[int, str, str]:
+    """Strip the longest common prefix + suffix (both greedy-optimal for
+    LCS) with numpy codepoint compares; returns (trimmed_len, mid_x, mid_y).
+
+    Near-duplicate web pages differ in a small middle span, so this turns
+    the O(|x|·|y|/64) bit-parallel DP into work on the tiny differing core.
+    """
+    ax = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32)
+    ay = np.frombuffer(y.encode("utf-32-le"), dtype=np.uint32)
+    n = min(len(ax), len(ay))
+    neq = ax[:n] != ay[:n]
+    pre = int(neq.argmax()) if neq.any() else n
+    sx, sy = ax[pre:], ay[pre:]
+    m = min(len(sx), len(sy))
+    if m:
+        neq2 = sx[-m:] != sy[-m:]
+        suf = int(neq2[::-1].argmax()) if neq2.any() else m
+    else:
+        suf = 0
+    end_x = len(ax) - suf
+    end_y = len(ay) - suf
+    return pre + suf, x[pre:end_x], y[pre:end_y]
+
+
 @F.pandas_udf(T.DoubleType())
 def indel_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """InDel ratio with per-batch mask reuse: candidate pairs arrive
-    grouped by block, so the same probe text recurs — its char bitmasks
-    (the expensive half of the bit-parallel LCS) are built once."""
+    """InDel ratio with three batch-level fast paths: identical-string
+    short-circuit, vectorized common prefix/suffix trimming (the DP then
+    runs only on the differing core — near-dup pairs become ~free), and
+    per-batch mask reuse (candidate pairs arrive grouped by block, so the
+    same probe text recurs; its char bitmasks — the expensive half of the
+    bit-parallel LCS — are built once)."""
     a, b = _prep(a), _prep(b)
     cache: dict[str, dict[str, int]] = {}
     out = []
@@ -186,10 +214,17 @@ def indel_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(x) == 0 or len(y) == 0:
             out.append(0.0)
             continue
-        masks = cache.get(x)
-        if masks is None:
-            masks = cache[x] = _build_masks(x)
-        lcs = _lcs_from_masks(masks, len(x), y)
+        if x == y:
+            out.append(1.0)
+            continue
+        common, mx, my = _trim_common_affixes(x, y)
+        if len(mx) == 0 or len(my) == 0:
+            lcs = common
+        else:
+            masks = cache.get(mx)
+            if masks is None:
+                masks = cache[mx] = _build_masks(mx)
+            lcs = common + _lcs_from_masks(masks, len(mx), my)
         out.append(1.0 - (total - 2 * lcs) / total)
     return pd.Series(out, dtype="float64")
 

@@ -1,0 +1,120 @@
+"""Two-parallelism scaling evidence for the north rule.
+
+No real cluster exists in this sandbox, so the N→4N executor-scaling
+criterion is evidenced by running the SAME pipeline job on the SAME
+deterministic input at two local parallelism levels (local[8] vs
+local[32]) in separate JVMs, and reporting docs/sec at both plus
+
+    efficiency = (docs_per_sec_32 / docs_per_sec_8) / 4
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python scripts/scaling_bench.py [n_pages] [low_cpus] [high_cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from ai_data_matching_spark.session import build_session
+from ai_data_matching_spark.pipeline import run_pipeline
+from ai_data_matching_spark.synth import generate_pages
+
+cpus = {cpus}
+n_pages = {n_pages}
+spark = build_session(
+    app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
+    shuffle_partitions=max(2 * cpus, 8),
+)
+pages = generate_pages(spark, n_pages, seed=42).drop("entity_id")
+pages = pages.repartition(2 * cpus).persist()
+n = pages.count()  # materialize the input outside the timed window
+
+# warm the Python worker pool + JIT outside the timed window
+run_pipeline(spark, pages.limit(2000)).assigned.write.format("noop").mode("overwrite").save()
+
+best = None
+for _ in range({reps}):
+    t0 = time.perf_counter()
+    res = run_pipeline(spark, pages)
+    res.assigned.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    best = dt if best is None or dt < best else best
+print("RESULT " + json.dumps({{"cpus": cpus, "docs": n, "seconds": round(best, 3),
+                               "docs_per_sec": round(n / best, 1)}}))
+"""
+
+
+def run_at(cpus: int, n_pages: int, reps: int) -> dict:
+    script = _CHILD.format(repo=REPO, cpus=cpus, n_pages=n_pages, reps=reps)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=1800, check=False,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"child local[{cpus}] failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 48000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    reps = int(os.environ.get("SCALING_REPS", "2"))
+
+    t0 = time.time()
+    r_low = run_at(low, n_pages, reps)
+    r_high = run_at(high, n_pages, reps)
+    ratio = r_high["docs_per_sec"] / r_low["docs_per_sec"]
+    eff = ratio / (high / low)
+    report = {
+        "n_pages": n_pages,
+        "low": r_low,
+        "high": r_high,
+        "speedup": round(ratio, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "passed": eff >= 0.8,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(report))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH — cluster-size scaling evidence
+
+The north rule requires ≥0.8 throughput scaling efficiency from N to 4N
+executors. No real cluster exists in this sandbox, so per the driver
+instruction the evidence is the SAME job (full blocking → scoring →
+clustering pipeline, `ai_data_matching_spark.pipeline.run_pipeline`) on
+the SAME deterministic input (synth corpus, seed=42, {n_pages:,} pages)
+at two local parallelism levels, each in its own JVM; input
+materialized and Python workers warmed outside the timed window; best
+of {reps} timed runs.
+
+| parallelism | docs | seconds | docs/sec |
+|---|---|---|---|
+| local[{low}] (N) | {r_low['docs']:,} | {r_low['seconds']} | {r_low['docs_per_sec']} |
+| local[{high}] (4N) | {r_high['docs']:,} | {r_high['seconds']} | {r_high['docs_per_sec']} |
+
+**speedup {low}→{high} cores: {ratio:.2f}×; scaling efficiency =
+{ratio:.2f} / {high // low} = {eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
+
+Reproduce: `python scripts/scaling_bench.py {n_pages} {low} {high}`
+""")
+
+
+if __name__ == "__main__":
+    main()
