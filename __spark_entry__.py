@@ -356,6 +356,184 @@ def q_p11_classification(spark, sf_dir):
     return j.withColumn("relationship_type", cls)
 
 
+def q_p4_date_parse_coerce(spark, sf_dir):
+    """P4: to_timestamp with null-on-failure coercion (reference
+    pd.to_datetime errors='coerce', data_processor.py:128)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.try_to_timestamp(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit("yyyy-MM-dd HH:mm:ss")
+        ).alias("ts_reparsed"),
+        F.try_to_timestamp(F.col("event_type"), F.lit("yyyy-MM-dd HH:mm:ss")).alias(
+            "ts_invalid"
+        ),
+    )
+
+
+def q_p5_parent_coalesce(spark, sf_dir):
+    """P5: parent-name coalesce (reference parent.fillna(account),
+    data_processor.py:153-156) — nation name falls back to customer name."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").withColumn(
+        "n_name_opt", F.when(F.col("n_nationkey") % 3 != 0, F.col("n_name"))
+    )
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n_name_opt"), F.col("c_name")).alias("display_name"),
+        )
+    )
+
+
+def q_p8_substring_search(spark, sf_dir):
+    """P8: case-insensitive substring search filter (app.py:621-623)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.lower(F.col("text")).contains("data")).select("doc_id", "lang")
+
+
+def q_p9_regex_filter(spark, sf_dir):
+    """P9: regex membership filter (relationship_mapper.py:186-189)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("props").rlike('"k": (1[0-9]|2[0-5])\\}')).select(
+        "event_id", "props"
+    )
+
+
+def q_p10_sentinel_filter(spark, sf_dir):
+    """P10: not-null / not-sentinel filter (charts.py:109-112)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(
+        F.col("props").isNotNull() & (F.col("event_type") != "error") & (F.col("value") > 0)
+    ).select("event_id", "event_type")
+
+
+def q_p12_status_derivation(spark, sf_dir):
+    """P12: status derivation when-chain (app.py:916-931)."""
+    e = _t(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type").isin("purchase", "signup"), F.lit("converted"))
+        .when((F.col("event_type").isin("click", "view")) & (F.col("value") > 0.5), F.lit("engaged"))
+        .when(F.col("event_type").isin("click", "view"), F.lit("browsing"))
+        .otherwise(F.lit("unknown"))
+    )
+    return e.select("event_id", status.alias("status"))
+
+
+def q_p13_date_math(spark, sf_dir):
+    """P13: date difference + urgency flag (app.py:681-687)."""
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.lit("1998-08-01").cast("date"), F.col("o_orderdate").cast("date"))
+    return o.select(
+        "o_orderkey",
+        days.cast("long").alias("age_days"),
+        (days < 90).alias("is_recent"),
+    )
+
+
+def q_json_extract_props(spark, sf_dir):
+    """S6-analog: typed extraction from semi-structured props column."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+def q_a1_per_source_rollup(spark, sf_dir):
+    """A1: per-source rollup (data_processor.py:174-177)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+def q_a4_match_statistics(spark, sf_dir):
+    """A4: headline match statistics (matching_engine.py:331-353)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = q_j1_exact_block_join(spark, sf_dir)
+    matched = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    total = d.count()
+    n_matched = matched.count()
+    return spark.sql(
+        f"SELECT {total}L AS total_docs, {n_matched}L AS matched_docs, "
+        f"round(100.0 * {n_matched} / {total}, 4) AS match_rate_pct"
+    )
+
+
+def q_a5_value_counts_top(spark, sf_dir):
+    """A5: value_counts + top-k head (relationship_mapper.py:177-184)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(3)
+    )
+
+
+def q_a7_a8_distinct_means(spark, sf_dir):
+    """A7 + A8: distinct counts and means per group (app.py:443, :575)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def q_o1_global_sort_topk(spark, sf_dir):
+    """O1 + O2: global sort desc + top-k (matching_engine.py:323,
+    export_manager.py:61). Spark plans this as TakeOrdered — no full sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .select("o_orderkey", "o_totalprice", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_o4_per_group_min(spark, sf_dir):
+    """O4: earliest timestamp per group (relationship_mapper.py:63-74)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+
+
+def q_u3_distinct_pairs(spark, sf_dir):
+    """U3: set dedup (matching_engine.py:79) as dropDuplicates."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("lang", "source").distinct()
+
+
+def q_q5_regional_revenue(spark, sf_dir):
+    """Multi-join rollup (TPC-H Q5 shape): lineitem⋈orders⋈customer⋈
+    nation⋈region with broadcast dims, revenue per region/nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -396,6 +574,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_top_event_per_user": q_o2_top_event_per_user,
         "u1_union_parties": q_u1_union_parties,
         "p11_classification": q_p11_classification,
+        "p4_date_parse_coerce": q_p4_date_parse_coerce,
+        "p5_parent_coalesce": q_p5_parent_coalesce,
+        "p8_substring_search": q_p8_substring_search,
+        "p9_regex_filter": q_p9_regex_filter,
+        "p10_sentinel_filter": q_p10_sentinel_filter,
+        "p12_status_derivation": q_p12_status_derivation,
+        "p13_date_math": q_p13_date_math,
+        "json_extract_props": q_json_extract_props,
+        "a1_per_source_rollup": q_a1_per_source_rollup,
+        "a4_match_statistics": q_a4_match_statistics,
+        "a5_value_counts_top": q_a5_value_counts_top,
+        "a7_a8_distinct_means": q_a7_a8_distinct_means,
+        "o1_global_sort_topk": q_o1_global_sort_topk,
+        "o4_per_group_min": q_o4_per_group_min,
+        "u3_distinct_pairs": q_u3_distinct_pairs,
+        "q5_regional_revenue": q_q5_regional_revenue,
     }
 
 
@@ -631,5 +825,98 @@ def oracle_sql() -> dict[str, str]:
                    WHEN n_cust::double / n_supp > 0.5 THEN 'Balanced'
                    ELSE 'Supplier Heavy' END AS relationship_type
             FROM j
+        """,
+        "p4_date_parse_coerce": """
+            SELECT event_id,
+                   try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                                '%Y-%m-%d %H:%M:%S') AS ts_reparsed,
+                   try_strptime(event_type, '%Y-%m-%d %H:%M:%S') AS ts_invalid
+            FROM events
+        """,
+        "p5_parent_coalesce": """
+            WITH n AS (SELECT n_nationkey,
+                         CASE WHEN n_nationkey % 3 <> 0 THEN n_name END AS n_name_opt
+                       FROM nation)
+            SELECT c_custkey, coalesce(n.n_name_opt, c.c_name) AS display_name
+            FROM customer c LEFT JOIN n ON c.c_nationkey = n.n_nationkey
+        """,
+        "p8_substring_search": """
+            SELECT doc_id, lang FROM documents WHERE lower(text) LIKE '%data%'
+        """,
+        "p9_regex_filter": """
+            SELECT event_id, props FROM events
+            WHERE regexp_matches(props, '"k": (1[0-9]|2[0-5])\\}')
+        """,
+        "p10_sentinel_filter": """
+            SELECT event_id, event_type FROM events
+            WHERE props IS NOT NULL AND event_type <> 'error' AND value > 0
+        """,
+        "p12_status_derivation": """
+            SELECT event_id,
+              CASE WHEN event_type IN ('purchase', 'signup') THEN 'converted'
+                   WHEN event_type IN ('click', 'view') AND value > 0.5 THEN 'engaged'
+                   WHEN event_type IN ('click', 'view') THEN 'browsing'
+                   ELSE 'unknown' END AS status
+            FROM events
+        """,
+        "p13_date_math": """
+            SELECT o_orderkey,
+                   datediff('day', o_orderdate::date, date '1998-08-01')::bigint AS age_days,
+                   datediff('day', o_orderdate::date, date '1998-08-01') < 90 AS is_recent
+            FROM orders
+        """,
+        "json_extract_props": """
+            SELECT event_id,
+                   try_cast(json_extract_string(props, '$.k') AS bigint) AS k_val
+            FROM events
+        """,
+        "a1_per_source_rollup": """
+            SELECT source, count(*) AS n_docs, sum(n_chars)::bigint AS total_chars,
+                   min(doc_id) AS first_doc_id
+            FROM documents GROUP BY source
+        """,
+        "a4_match_statistics": f"""
+            WITH d AS (SELECT doc_id, lang, {norm} AS norm_text FROM documents),
+            k AS (SELECT doc_id, lang, {_BLOCK_KEY_SQL} AS block_key FROM d),
+            p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM k a JOIN k b
+                    ON a.lang = b.lang AND a.block_key = b.block_key
+                  WHERE a.doc_id < b.doc_id),
+            m AS (SELECT DISTINCT doc_id FROM
+                    (SELECT a AS doc_id FROM p UNION ALL SELECT b FROM p))
+            SELECT (SELECT count(*) FROM documents)::bigint AS total_docs,
+                   (SELECT count(*) FROM m)::bigint AS matched_docs,
+                   round(100.0 * (SELECT count(*) FROM m)
+                         / (SELECT count(*) FROM documents), 4) AS match_rate_pct
+        """,
+        "a5_value_counts_top": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
+        """,
+        "a7_a8_distinct_means": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "o1_global_sort_topk": """
+            WITH r AS (SELECT o_orderkey, o_totalprice, row_number() OVER
+                         (ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+            SELECT o_orderkey, o_totalprice, rk::bigint AS rk FROM r WHERE rk <= 100
+        """,
+        "o4_per_group_min": """
+            SELECT user_id, min(ts) AS first_seen FROM events GROUP BY user_id
+        """,
+        "u3_distinct_pairs": """
+            SELECT DISTINCT lang, source FROM documents
+        """,
+        "q5_regional_revenue": """
+            SELECT r.r_name, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
         """,
     }

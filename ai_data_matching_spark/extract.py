@@ -172,8 +172,50 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text_py)
 
 
+_EXTRACT_NORM_SCHEMA = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("norm_text", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_EXTRACT_NORM_SCHEMA)
+def extract_norm_udf(html: pd.Series) -> pd.DataFrame:
+    """Fused HTML→text + normalization in ONE Arrow pass.
+
+    The pipeline's hot path: running the 16-pattern normalizer as a JVM
+    ``regexp_replace`` chain allocates ~16 intermediate strings per row and
+    collapses under GC contention at high thread counts (measured 37s for
+    500k rows at local[32] vs 5s here — Python workers are separate
+    processes, so the allocation storm never meets a shared heap).
+    ``normalize_name_py`` is the tested byte-parity twin of
+    ``normalize_name_col``; the driver-contract queries keep the native
+    column form so DuckDB oracles can mirror it.
+    """
+    ex = html.map(extract_text_py)
+    return pd.DataFrame({"extracted_text": ex, "norm_text": ex.map(normalize_name_py)})
+
+
 def with_extracted(df, url_col: str = "url", html_col: str = "html"):
     """Add ``extracted_text`` + ``norm_domain`` columns to a pages frame."""
     return df.withColumn("extracted_text", extract_text_udf(F.col(html_col))).withColumn(
         "norm_domain", normalized_domain_col(F.col(url_col))
+    )
+
+
+def with_extracted_normalized(df, url_col: str = "url", html_col: str = "html"):
+    """Pipeline stage-1 projection: fused extract+normalize UDF plus the
+    native domain key; drops the heavy ``html`` binary (never needed
+    downstream — at 100 TB, carrying raw html past extraction quadruples
+    every later checkpoint and cache)."""
+    out = df.withColumn("_exn", extract_norm_udf(F.col(html_col))).withColumn(
+        "norm_domain", normalized_domain_col(F.col(url_col))
+    )
+    keep = [c for c in df.columns if c != html_col]
+    return out.select(
+        *keep,
+        "norm_domain",
+        F.col("_exn.extracted_text").alias("extracted_text"),
+        F.col("_exn.norm_text").alias("norm_text"),
     )

@@ -166,6 +166,14 @@ def _lcs_len_naive(a: str, b: str) -> int:
 
 MAX_SCORE_CHARS = 512  # cap DP cost per pair; normalized web text rarely needs more
 
+# Exact prescreen: indel_ratio(a,b) <= 2*min(|a|,|b|)/(|a|+|b|) because
+# LCS <= min(|a|,|b|). Pairs whose bound is below this cutoff cannot reach
+# the 0.85 match threshold, so the UDF returns the bound itself instead of
+# running the DP — exact for every decision the engine makes (edges are
+# cut at >= 0.85 BEFORE any ranking), approximate only for the
+# sub-threshold tail of the score histogram.
+PRESCREEN_BOUND = 0.80
+
 
 def _prep(s: pd.Series) -> pd.Series:
     return s.fillna("").str.slice(0, MAX_SCORE_CHARS)
@@ -216,6 +224,10 @@ def indel_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
             continue
         if x == y:
             out.append(1.0)
+            continue
+        bound = 2.0 * min(len(x), len(y)) / total
+        if bound < PRESCREEN_BOUND:
+            out.append(bound)
             continue
         common, mx, my = _trim_common_affixes(x, y)
         if len(mx) == 0 or len(my) == 0:

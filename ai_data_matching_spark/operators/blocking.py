@@ -99,14 +99,22 @@ def exact_match_edges(blocked: DataFrame, url_col: str = "url") -> DataFrame:
     """
     grp = (
         blocked.groupBy("norm_domain", "simhash")
-        .agg(F.min(url_col).alias("_rep"), F.collect_list(url_col).alias("_members"))
-        .filter(F.size("_members") > 1)
+        .agg(F.min(url_col).alias("_rep"), F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
     )
+    # join-back instead of collect_list: a mega exact group (the 100 TB
+    # reality — mirrored boilerplate pages) would otherwise materialize
+    # one giant array in a single aggregation buffer
     return (
-        grp.select(F.explode("_members").alias("src"), F.col("_rep").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .withColumn("score", F.lit(1.0))
-        .withColumn("match_type", F.lit("exact"))
+        blocked.select("norm_domain", "simhash", F.col(url_col).alias("src"))
+        .join(grp, ["norm_domain", "simhash"])
+        .filter(F.col("src") != F.col("_rep"))
+        .select(
+            "src",
+            F.col("_rep").alias("dst"),
+            F.lit(1.0).alias("score"),
+            F.lit("exact").alias("match_type"),
+        )
     )
 
 
@@ -123,11 +131,15 @@ def hot_keys(exploded_keys: DataFrame, max_block_size: int) -> DataFrame:
     )
 
 
+DEFAULT_MAX_BAND_HAMMING = 16
+
+
 def candidate_pairs(
     blocked: DataFrame,
     url_col: str = "url",
     text_col: str = "norm_text",
     max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+    max_band_hamming: int = DEFAULT_MAX_BAND_HAMMING,
 ) -> tuple[DataFrame, DataFrame]:
     """Generate deduplicated within-block candidate pairs.
 
@@ -142,32 +154,62 @@ def candidate_pairs(
     predicate halves the output and removes self-pairs. Keys larger than
     ``max_block_size`` are excluded *before* the join (skew splitting).
     """
+    # SLIM pair generation: the self-join + cross-key dedup shuffle only
+    # (block_key, url) pairs; texts and minhash signatures are attached
+    # AFTER dedup by joining the (much smaller) per-url payload back in.
+    # A pair colliding in k block keys would otherwise move its two text
+    # payloads through the shuffle k times — measured 2-3× of the whole
+    # candidate-stage cost at 250k pages.
     sel = blocked.select(
         F.col(url_col).alias("url"),
-        F.col(text_col).alias("norm_text"),
-        F.col("minhash_sig"),
+        F.col("simhash"),
         F.explode("block_keys").alias("block_key"),
     )
     hot = hot_keys(sel.select("block_key", "url"), max_block_size)
     cold = sel.join(F.broadcast(hot.select("block_key")), "block_key", "left_anti")
 
-    a = cold.select(
-        F.col("block_key"),
-        F.col("url").alias("url_a"),
-        F.col("norm_text").alias("text_a"),
-        F.col("minhash_sig").alias("sig_a"),
+    a = cold.select("block_key", F.col("url").alias("url_a"), F.col("simhash").alias("_sh_a"))
+    b = cold.select("block_key", F.col("url").alias("url_b"), F.col("simhash").alias("_sh_b"))
+    # Simhash band keys are 16-bit, so UNRELATED pages collide by chance at
+    # a rate of n²/2^16 per band — quadratic in corpus size. A native
+    # full-simhash Hamming filter on band-derived pairs (JVM bit_count,
+    # applied before the dedup shuffle and payload joins) cuts random
+    # collisions by ~4e-5 (P[Binom(64,½) ≤ 16]) while keeping real near
+    # dups (measured true-pair Hamming p90 = 13). Domain-key pairs are NOT
+    # filtered — they are bounded by max_block_size and must reach scoring
+    # regardless of sketch distance.
+    ham_ok = (~F.col("block_key").startswith("sh")) | (
+        F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))) <= max_band_hamming
     )
-    b = cold.select(
-        F.col("block_key"),
-        F.col("url").alias("url_b"),
-        F.col("norm_text").alias("text_b"),
-        F.col("minhash_sig").alias("sig_b"),
-    )
-    pairs = (
+    slim = (
         a.join(b, "block_key")
         .filter(F.col("url_a") < F.col("url_b"))
-        .drop("block_key")
+        .filter(ham_ok)
+        .select("url_a", "url_b")
         .dropDuplicates(["url_a", "url_b"])
+    )
+    payload = blocked.select(
+        F.col(url_col).alias("url"),
+        F.col(text_col).alias("norm_text"),
+        F.col("minhash_sig"),
+    )
+    pairs = (
+        slim.join(
+            payload.select(
+                F.col("url").alias("url_a"),
+                F.col("norm_text").alias("text_a"),
+                F.col("minhash_sig").alias("sig_a"),
+            ),
+            "url_a",
+        )
+        .join(
+            payload.select(
+                F.col("url").alias("url_b"),
+                F.col("norm_text").alias("text_b"),
+                F.col("minhash_sig").alias("sig_b"),
+            ),
+            "url_b",
+        )
     )
     return pairs, hot
 

@@ -15,8 +15,9 @@ from dataclasses import asdict, dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .extract import FUZZY_THRESHOLD, normalize_name_col, with_extracted
+from .extract import FUZZY_THRESHOLD, with_extracted_normalized
 from .operators.blocking import (
+    DEFAULT_MAX_BAND_HAMMING,
     DEFAULT_MAX_BLOCK_SIZE,
     candidate_pairs,
     exact_match_edges,
@@ -33,6 +34,7 @@ from .sources.tables import TableIO, config_fingerprint
 class PipelineConfig:
     fuzzy_threshold: float = FUZZY_THRESHOLD
     max_block_size: int = DEFAULT_MAX_BLOCK_SIZE
+    max_band_hamming: int = DEFAULT_MAX_BAND_HAMMING
     n_simhash_bands: int = 4
     minhash_k: int = 16
     best_match_only: bool = True
@@ -75,12 +77,9 @@ def run_pipeline(
             resumed.append(name)
         return df
 
-    # stage 1 — extract + normalize (pandas UDF for html→text, native rest)
-    def _extract() -> DataFrame:
-        df = with_extracted(pages)
-        return df.withColumn("norm_text", normalize_name_col(F.col("extracted_text")))
-
-    extracted = stage("extract", _extract)
+    # stage 1 — fused extract + normalize pandas UDF (one Arrow pass; html
+    # dropped here — see extract.with_extracted_normalized)
+    extracted = stage("extract", lambda: with_extracted_normalized(pages))
 
     # stage 2 — sketches + blocking keys (narrow, no shuffle)
     blocked = stage(
@@ -95,7 +94,11 @@ def run_pipeline(
 
     # stage 4 — candidates (skew-split) + vectorized scoring
     def _scored() -> DataFrame:
-        pairs, overflow = candidate_pairs(blocked, max_block_size=cfg.max_block_size)
+        pairs, overflow = candidate_pairs(
+            blocked,
+            max_block_size=cfg.max_block_size,
+            max_band_hamming=cfg.max_band_hamming,
+        )
         if io is not None:
             io.write_metric(overflow, "scored", "block_overflow")
         routed = route_unmatched(pairs, exact)
@@ -124,7 +127,7 @@ def run_pipeline(
 
     labels = stage("labels", _labels)
 
-    assigned = cluster_assignments(extracted.drop("html"), labels)
+    assigned = cluster_assignments(extracted, labels)
     clusters = consolidate_clusters(assigned, edges)
     stats = match_statistics(assigned, edges)
     if io is not None:

@@ -31,19 +31,32 @@ from ai_data_matching_spark.synth import generate_pages
 
 cpus = {cpus}
 n_pages = {n_pages}
+import os
+os.makedirs("/dev/shm/spark-scaling", exist_ok=True)
 spark = build_session(
     app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
     shuffle_partitions=max(2 * cpus, 8),
+    extra_conf={{
+        # shuffle to tmpfs: a single spinning /tmp serializes the 32-thread
+        # run's shuffle writes; a real cluster has per-executor NVMe
+        "spark.local.dir": "/dev/shm/spark-scaling",
+        "spark.driver.memory": "24g",
+    }},
 )
-pages = generate_pages(spark, n_pages, seed=42).drop("entity_id")
-pages = pages.repartition(2 * cpus).persist()
-n = pages.count()  # materialize the input outside the timed window
+raw = generate_pages(spark, n_pages, seed=42).drop("entity_id")
 
 # warm the Python worker pool + JIT outside the timed window
-run_pipeline(spark, pages.limit(2000)).assigned.write.format("noop").mode("overwrite").save()
+run_pipeline(spark, raw.limit(2000)).assigned.write.format("noop").mode("overwrite").save()
 
 best = None
+n = 0
 for _ in range({reps}):
+    # run_pipeline persists every stage and Spark's CacheManager matches
+    # identical plans across invocations — clear between reps so each rep
+    # measures real compute, then re-materialize the input un-timed.
+    spark.catalog.clearCache()
+    pages = raw.repartition(2 * cpus).persist()
+    n = pages.count()
     t0 = time.perf_counter()
     res = run_pipeline(spark, pages)
     res.assigned.write.format("noop").mode("overwrite").save()

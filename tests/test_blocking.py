@@ -61,6 +61,29 @@ def test_candidate_pairs_and_hot_key_exclusion(spark):
     assert len(got) < 30
 
 
+def test_band_pairs_hamming_filtered(spark):
+    """Band-key collisions between textually-unrelated pages (simhash
+    Hamming > threshold) must not become candidate pairs, while
+    domain-key pairs survive regardless of sketch distance."""
+    base = " ".join(f"word{i:02d}" for i in range(40))
+    rows = [
+        ("http://x1.com/p", base, "en"),
+        ("http://x2.com/p", base, "en"),  # cross-domain mirror (hamming 0)
+        ("http://y.com/a", "one twoo three fourr fivee sixxx seven", "en"),
+        ("http://y.com/b", "completely unrelated content words here", "en"),  # same domain, far text
+    ]
+    df = spark.createDataFrame(rows, "url string, norm_text string, lang string")
+    pairs, _ = candidate_pairs(with_blocking_keys(df))
+    got = {(r["url_a"], r["url_b"]) for r in pairs.collect()}
+    # same-domain pair kept even though texts are unrelated
+    assert ("http://y.com/a", "http://y.com/b") in got
+    # cross-domain near-dup found via band keys (small hamming)
+    assert ("http://x1.com/p", "http://x2.com/p") in got
+    # no pairing of unrelated cross-domain pages
+    assert ("http://x1.com/p", "http://y.com/b") not in got
+    assert ("http://x1.com/p", "http://y.com/a") not in got
+
+
 def test_salted_join_round_trips(spark):
     fact = spark.range(0, 2000).select(
         (F.col("id") % 3).cast("string").alias("k"), F.col("id").alias("v")

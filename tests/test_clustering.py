@@ -1,13 +1,29 @@
-"""Connected components: known graphs, transitive chains, idempotence."""
+"""Connected components: known graphs, transitive chains, idempotence.
+
+All graph-shape tests force the ITERATIVE star path
+(small_graph_threshold=0); the hybrid driver union-find is asserted
+equivalent to it in test_hybrid_matches_iterative."""
+
+import random
 
 from ai_data_matching_spark.operators.clustering import connected_components
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, threshold=0):
     df = spark.createDataFrame(edges, "src string, dst string")
-    labels, iters = connected_components(df)
+    labels, iters = connected_components(df, small_graph_threshold=threshold)
     comp = {r["url"]: r["component"] for r in labels.collect()}
     return comp, iters
+
+
+def test_hybrid_matches_iterative(spark):
+    rng = random.Random(7)
+    nodes = [f"u{i:04d}" for i in range(400)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(300)]
+    it_comp, it_iters = _cc(spark, edges, threshold=0)
+    uf_comp, uf_iters = _cc(spark, edges, threshold=10**6)
+    assert it_iters > 0 and uf_iters == 0
+    assert it_comp == uf_comp
 
 
 def test_two_components(spark):
