@@ -464,7 +464,7 @@ def q_a4_match_statistics(spark, sf_dir):
     n_matched = matched.count()
     return spark.sql(
         f"SELECT {total}L AS total_docs, {n_matched}L AS matched_docs, "
-        f"round(100.0 * {n_matched} / {total}, 4) AS match_rate_pct"
+        f"round(100.0D * {n_matched} / {total}, 4) AS match_rate_pct"
     )
 
 
