@@ -30,7 +30,7 @@ def _materialize(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("BENCH_PAGES", "24000"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "100000"))
     only = os.environ.get("BENCH_ONLY")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 
@@ -39,8 +39,15 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
+    extra = {"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")}
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-bench", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/spark-bench"
     spark = build_session(
-        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf=extra,
     )
 
     timings: dict[str, float] = {}
