@@ -490,13 +490,17 @@ def q_a7_a8_distinct_means(spark, sf_dir):
 
 def q_o1_global_sort_topk(spark, sf_dir):
     """O1 + O2: global sort desc + top-k (matching_engine.py:323,
-    export_manager.py:61). Spark plans this as TakeOrdered — no full sort."""
+    export_manager.py:61). Top-k first via TakeOrderedAndProject (per-
+    partition heaps, no global sort of all rows), THEN rank the 100
+    survivors with a window — the window's single-partition stage only
+    ever sees k rows."""
     o = _t(spark, sf_dir, "orders")
+    top = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 100)
-        .select("o_orderkey", "o_totalprice", F.col("rk").cast("long").alias("rk"))
+    return top.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rk"),
     )
 
 
