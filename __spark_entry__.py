@@ -219,6 +219,14 @@ def q_simhash_near_pairs(spark, sf_dir):  # rows-only (xxhash64)
     return duplicate_pairs_simhash(_t(spark, sf_dir, "documents"), max_hamming=16)
 
 
+def q_embedding_cosine_pairs(spark, sf_dir):  # rows-only (hash-derived hyperplanes)
+    from ai_data_matching_spark.operators.dedup import duplicate_pairs_embedding_cosine
+
+    return duplicate_pairs_embedding_cosine(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from ai_data_matching_spark.operators.similarity_search import cosine_topk_bruteforce
 
@@ -568,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "mm_binary_meta": q_mm_binary_meta,

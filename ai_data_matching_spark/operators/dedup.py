@@ -189,6 +189,41 @@ def duplicate_pairs_ngram_jaccard(
     )
 
 
+def duplicate_pairs_embedding_cosine(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: random-hyperplane LSH bucket
+    self-join + native cosine verify ≥ ``threshold``.
+
+    Candidates only where a sign-pattern bucket collides (recall grows
+    with ``n_tables``; pairs at cosine ≥ 0.9 collide in ≥1 of 8 six-bit
+    tables w.p. ≈ 1-(1-(1-θ/π)^6)^8 ≈ 0.97). Verification is the exact
+    JVM-side cosine — no Python. Returns (id_a, id_b, cosine).
+    """
+    from .similarity_search import cosine_col, make_lsh_bucket_udf
+
+    bucket_udf = make_lsh_bucket_udf(bits, n_tables)
+    base = embs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("bucket", F.explode(bucket_udf(F.col("_v")))).persist()
+    a = base.select("bucket", F.col("id").alias("id_a"), F.col("_v").alias("_va"))
+    b = base.select("bucket", F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", F.round(cosine_col(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def survivors_from_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Resolve duplicate pairs to survivors: connected components over the
     pair graph, keep min-id per component. Reuses the pipeline's CC."""

@@ -75,3 +75,25 @@ def test_survivors_from_pairs_transitive(neardup_docs):
     kept = {r["doc_id"] for r in survivors.collect()}
     # 1,2,3 collapse to 1 (transitively); 4 and 5 survive
     assert kept == {1, 4, 5}
+
+
+def test_embedding_cosine_pairs_recall(spark):
+    import numpy as np
+
+    from ai_data_matching_spark.operators.dedup import duplicate_pairs_embedding_cosine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in duplicate_pairs_embedding_cosine(emb, threshold=0.5).collect()
+    }
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ia, ib = np.where(np.triu(sims >= 0.5, k=1))
+    want = {tuple(sorted((int(ids[x]), int(ids[y])))) for x, y in zip(ia, ib)}
+    assert got <= want  # verification is exact: no false positives
+    if want:
+        assert len(got & want) / len(want) >= 0.8  # LSH recall
