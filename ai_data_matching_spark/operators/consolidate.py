@@ -14,23 +14,41 @@ relationship_mapper.py:97-99) while the raw arrays are kept too.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+MAX_MEMBER_DETAILS = 1000
 
 
 def consolidate_clusters(
     assigned: DataFrame,
     edges: DataFrame,
     url_col: str = "url",
+    max_members: int = MAX_MEMBER_DETAILS,
 ) -> DataFrame:
     """One row per cluster: size, representative url (min), domains,
-    languages, time range, member list, match quality."""
+    languages, time range, member list, match quality.
+
+    The member-detail array is capped at ``max_members`` (first urls in
+    lexicographic order): a mega duplicate cluster — the 100 TB reality —
+    would otherwise materialize one unbounded array in a single
+    aggregation buffer. ``n_pages`` always counts ALL members. The cap
+    window partitions by the same key as the groupBy, so Catalyst reuses
+    one exchange (no extra shuffle).
+    """
     match_q = (
         edges.select(F.explode(F.array("src", "dst")).alias(url_col), "match_type")
         .groupBy(url_col)
         .agg(F.max(F.col("match_type") == "exact").alias("_any_exact"))
     )
-    df = assigned.join(match_q, url_col, "left")
+    w = Window.partitionBy("cluster_id").orderBy(url_col)
+    df = (
+        assigned.join(match_q, url_col, "left")
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    member = F.when(
+        F.col("_rn") <= max_members, F.struct(F.col(url_col), F.col("warc_ts"))
+    )  # collect_list drops the nulls beyond the cap
     return (
         df.groupBy("cluster_id")
         .agg(
@@ -40,7 +58,7 @@ def consolidate_clusters(
             F.array_join(F.sort_array(F.collect_set("lang")), ", ").alias("langs"),
             F.min("warc_ts").alias("first_seen"),
             F.max("warc_ts").alias("last_seen"),
-            F.collect_list(F.struct(F.col(url_col), F.col("warc_ts"))).alias("members"),
+            F.collect_list(member).alias("members"),
             F.when(F.max(F.coalesce(F.col("_any_exact"), F.lit(False))), F.lit("Exact"))
             .otherwise(F.lit("Fuzzy"))
             .alias("match_quality"),
