@@ -167,11 +167,15 @@ def _lcs_len_naive(a: str, b: str) -> int:
 MAX_SCORE_CHARS = 512  # cap DP cost per pair; normalized web text rarely needs more
 
 # Exact prescreen: indel_ratio(a,b) <= 2*min(|a|,|b|)/(|a|+|b|) because
-# LCS <= min(|a|,|b|). Pairs whose bound is below this cutoff cannot reach
-# the 0.85 match threshold, so the UDF returns the bound itself instead of
+# LCS <= min(|a|,|b|). Pairs whose bound is below the cutoff cannot reach
+# the match threshold, so the UDF returns the bound itself instead of
 # running the DP — exact for every decision the engine makes (edges are
-# cut at >= 0.85 BEFORE any ranking), approximate only for the
-# sub-threshold tail of the score histogram.
+# cut at >= threshold BEFORE any ranking), approximate only for the
+# sub-threshold tail of the score histogram. The cutoff must never exceed
+# the effective decision threshold: make_indel_ratio_udf clamps, so a
+# user-configured fuzzy_threshold BELOW 0.80 (cli --fuzzy-threshold)
+# lowers the prescreen with it and never admits an inflated bound as a
+# passing score.
 PRESCREEN_BOUND = 0.80
 
 
@@ -203,42 +207,55 @@ def _trim_common_affixes(x: str, y: str) -> tuple[int, str, str]:
     return pre + suf, x[pre:end_x], y[pre:end_y]
 
 
-@F.pandas_udf(T.DoubleType())
-def indel_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """InDel ratio with three batch-level fast paths: identical-string
-    short-circuit, vectorized common prefix/suffix trimming (the DP then
-    runs only on the differing core — near-dup pairs become ~free), and
-    per-batch mask reuse (candidate pairs arrive grouped by block, so the
-    same probe text recurs; its char bitmasks — the expensive half of the
-    bit-parallel LCS — are built once)."""
-    a, b = _prep(a), _prep(b)
-    cache: dict[str, dict[str, int]] = {}
-    out = []
-    for x, y in zip(a, b):
-        total = len(x) + len(y)
-        if total == 0:
-            out.append(1.0)
-            continue
-        if len(x) == 0 or len(y) == 0:
-            out.append(0.0)
-            continue
-        if x == y:
-            out.append(1.0)
-            continue
-        bound = 2.0 * min(len(x), len(y)) / total
-        if bound < PRESCREEN_BOUND:
-            out.append(bound)
-            continue
-        common, mx, my = _trim_common_affixes(x, y)
-        if len(mx) == 0 or len(my) == 0:
-            lcs = common
-        else:
-            masks = cache.get(mx)
-            if masks is None:
-                masks = cache[mx] = _build_masks(mx)
-            lcs = common + _lcs_from_masks(masks, len(mx), my)
-        out.append(1.0 - (total - 2 * lcs) / total)
-    return pd.Series(out, dtype="float64")
+def make_indel_ratio_udf(match_threshold: float = PRESCREEN_BOUND):
+    """Build the InDel-ratio pandas UDF with a prescreen cutoff that is
+    exact for decisions at ``match_threshold``: cutoff =
+    min(PRESCREEN_BOUND, match_threshold), so a sub-threshold length-bound
+    can never be returned as a score that passes the threshold."""
+    cutoff = min(PRESCREEN_BOUND, float(match_threshold))
+
+    @F.pandas_udf(T.DoubleType())
+    def _indel_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+        """InDel ratio with three batch-level fast paths: identical-string
+        short-circuit, vectorized common prefix/suffix trimming (the DP then
+        runs only on the differing core — near-dup pairs become ~free), and
+        per-batch mask reuse (candidate pairs arrive grouped by block, so the
+        same probe text recurs; its char bitmasks — the expensive half of the
+        bit-parallel LCS — are built once)."""
+        a, b = _prep(a), _prep(b)
+        cache: dict[str, dict[str, int]] = {}
+        out = []
+        for x, y in zip(a, b):
+            total = len(x) + len(y)
+            if total == 0:
+                out.append(1.0)
+                continue
+            if len(x) == 0 or len(y) == 0:
+                out.append(0.0)
+                continue
+            if x == y:
+                out.append(1.0)
+                continue
+            bound = 2.0 * min(len(x), len(y)) / total
+            if bound < cutoff:
+                out.append(bound)
+                continue
+            common, mx, my = _trim_common_affixes(x, y)
+            if len(mx) == 0 or len(my) == 0:
+                lcs = common
+            else:
+                masks = cache.get(mx)
+                if masks is None:
+                    masks = cache[mx] = _build_masks(mx)
+                lcs = common + _lcs_from_masks(masks, len(mx), my)
+            out.append(1.0 - (total - 2 * lcs) / total)
+        return pd.Series(out, dtype="float64")
+
+    return _indel_ratio
+
+
+# default instance at the reference threshold (0.85 ≥ PRESCREEN_BOUND)
+indel_ratio_udf = make_indel_ratio_udf()
 
 
 @F.pandas_udf(T.DoubleType())

@@ -101,13 +101,21 @@ def exact_match_edges(blocked: DataFrame, url_col: str = "url") -> DataFrame:
         blocked.groupBy("norm_domain", "simhash")
         .agg(F.min(url_col).alias("_rep"), F.count("*").alias("_n"))
         .filter(F.col("_n") > 1)
+        .select(F.col("norm_domain").alias("_gd"), F.col("simhash").alias("_gs"), "_rep")
     )
     # join-back instead of collect_list: a mega exact group (the 100 TB
     # reality — mirrored boilerplate pages) would otherwise materialize
-    # one giant array in a single aggregation buffer
+    # one giant array in a single aggregation buffer. Null-safe keys: a
+    # null norm_domain (unparseable url) still forms an exact group —
+    # groupBy treats null as a key, so the join-back must too, or those
+    # groups silently lose their edges.
     return (
         blocked.select("norm_domain", "simhash", F.col(url_col).alias("src"))
-        .join(grp, ["norm_domain", "simhash"])
+        .join(
+            grp,
+            F.col("norm_domain").eqNullSafe(F.col("_gd"))
+            & F.col("simhash").eqNullSafe(F.col("_gs")),
+        )
         .filter(F.col("src") != F.col("_rep"))
         .select(
             "src",

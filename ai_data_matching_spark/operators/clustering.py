@@ -140,14 +140,22 @@ def connected_components(
         def checkpoint_fn(df: DataFrame, _i: int) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    slim = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     if small_graph_threshold:
-        # cheap count on the deduped slim edges; at true scale this is one
-        # map-side-combined aggregation, and the branch never collects
-        # unless the graph already shrank below the threshold
-        if cur.count() <= small_graph_threshold:
-            return _driver_union_find(cur), 0
-    cur = checkpoint_fn(cur, 0)
+        # persist ONCE so the threshold count and the subsequent collect
+        # (or the iterative loop's first checkpoint) reuse the materialized
+        # edges instead of recomputing the full upstream blocking+scoring
+        # lineage twice — the count is a map-side-combined aggregation over
+        # the cached blocks
+        slim = slim.persist()
+        n_edges = slim.count()
+        if n_edges <= small_graph_threshold:
+            labels = _driver_union_find(slim)  # collects eagerly
+            slim.unpersist()
+            return labels, 0
+    cur = checkpoint_fn(slim, 0)
+    if small_graph_threshold:
+        slim.unpersist()  # checkpoint materialized its own copy
     prev_fp = _fingerprint(cur)
     iterations = 0
     for it in range(1, max_iterations + 1):

@@ -14,7 +14,7 @@ relationship_mapper.py:97-99) while the raw arrays are kept too.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_MEMBER_DETAILS = 1000
@@ -29,26 +29,32 @@ def consolidate_clusters(
     """One row per cluster: size, representative url (min), domains,
     languages, time range, member list, match quality.
 
-    The member-detail array is capped at ``max_members`` (first urls in
-    lexicographic order): a mega duplicate cluster — the 100 TB reality —
-    would otherwise materialize one unbounded array in a single
-    aggregation buffer. ``n_pages`` always counts ALL members. The cap
-    window partitions by the same key as the groupBy, so Catalyst reuses
-    one exchange (no extra shuffle).
+    The member-detail array is capped at ``max_members`` and the cap is
+    skew-safe: NO per-cluster sort window (a mega duplicate cluster — the
+    100 TB reality — would serialize its whole membership into one task's
+    sort). Instead a first count pass sizes each cluster; clusters at or
+    under the cap collect every member, larger clusters take a
+    deterministic hash sample (pmod(xxhash64(url), ceil(size/cap)) == 0,
+    expected ≈ cap members), so no aggregation buffer ever holds more than
+    ~cap structs. The collected array is ``array_sort``-ed (url is the
+    leading struct field → lexicographic member order) because
+    ``collect_list`` order is not guaranteed under AQE/plan changes.
+    ``n_pages`` always counts ALL members.
     """
     match_q = (
         edges.select(F.explode(F.array("src", "dst")).alias(url_col), "match_type")
         .groupBy(url_col)
         .agg(F.max(F.col("match_type") == "exact").alias("_any_exact"))
     )
-    w = Window.partitionBy("cluster_id").orderBy(url_col)
-    df = (
-        assigned.join(match_q, url_col, "left")
-        .withColumn("_rn", F.row_number().over(w))
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("_csize"))
+    df = assigned.join(match_q, url_col, "left").join(sizes, "cluster_id")
+    rate = F.greatest(
+        F.ceil(F.col("_csize").cast("double") / F.lit(max_members)).cast("long"), F.lit(1)
     )
-    member = F.when(
-        F.col("_rn") <= max_members, F.struct(F.col(url_col), F.col("warc_ts"))
-    )  # collect_list drops the nulls beyond the cap
+    keep = (F.col("_csize") <= max_members) | (
+        F.pmod(F.xxhash64(F.col(url_col)), rate) == 0
+    )
+    member = F.when(keep, F.struct(F.col(url_col), F.col("warc_ts")))
     return (
         df.groupBy("cluster_id")
         .agg(
@@ -58,7 +64,9 @@ def consolidate_clusters(
             F.array_join(F.sort_array(F.collect_set("lang")), ", ").alias("langs"),
             F.min("warc_ts").alias("first_seen"),
             F.max("warc_ts").alias("last_seen"),
-            F.collect_list(member).alias("members"),
+            # collect_list drops the nulls (non-kept members); slice caps
+            # the sampled overshoot at exactly max_members
+            F.slice(F.array_sort(F.collect_list(member)), 1, max_members).alias("members"),
             F.when(F.max(F.coalesce(F.col("_any_exact"), F.lit(False))), F.lit("Exact"))
             .otherwise(F.lit("Fuzzy"))
             .alias("match_quality"),

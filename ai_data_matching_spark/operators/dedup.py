@@ -23,18 +23,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked
 from ..functions.hashing import simhash_bands
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the min-id representative of each exact text group.
 
-    groupBy on xxhash64(text) — the shuffle carries (hash, id) only, not
-    the text payload; survivors re-join to fetch payload columns.
+    The groupBy input projects only (xxhash64(text), id), so its shuffle
+    carries (hash, id) — never the text payload. Survivor ids then attach
+    payload columns with ONE left-semi join on the id alone.
     """
-    hashed = docs.withColumn("_h", F.xxhash64(F.col(text_col)))
-    reps = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
-    return hashed.join(reps, [ "_h", id_col ], "inner").drop("_h")
+    ids = docs.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"))
+    reps = ids.groupBy("_h").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return docs.join(reps, id_col, "left_semi")
 
 
 def duplicate_pairs_minhash_lsh(
@@ -83,7 +85,8 @@ def duplicate_pairs_minhash_lsh(
                 ]
             )
         ).alias("bucket"),
-    ).persist()  # consumed by both sides of the bucket self-join
+    )
+    bands = persist_tracked(bands)  # consumed by both sides of the bucket self-join
     a = bands.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = bands.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     cand = (
@@ -123,7 +126,8 @@ def duplicate_pairs_simhash(
     )
     bands = base.select(
         "id", "_sim", F.explode(simhash_bands(F.col("_sim"), n_bands)).alias("bucket")
-    ).persist()  # consumed by both sides of the bucket self-join
+    )
+    bands = persist_tracked(bands)  # consumed by both sides of the bucket self-join
     a = bands.select("bucket", F.col("id").alias("id_a"), F.col("_sim").alias("_sim_a"))
     b = bands.select("bucket", F.col("id").alias("id_b"), F.col("_sim").alias("_sim_b"))
     ham = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
@@ -166,7 +170,9 @@ def duplicate_pairs_ngram_jaccard(
     ).withColumn("_n", F.size("_sh"))
     # persisted: both sides of the self-join consume this frame — without
     # it Spark recomputes the shingle UDF per side (measured 2× cost)
-    ex = base.select(*block_cols, "id", "_n", F.explode("_sh").alias("_shingle")).persist()
+    ex = persist_tracked(
+        base.select(*block_cols, "id", "_n", F.explode("_sh").alias("_shingle"))
+    )
     a = ex.select(
         *block_cols, "_shingle", F.col("id").alias("id_a"), F.col("_n").alias("_n_a")
     )
@@ -208,19 +214,24 @@ def duplicate_pairs_embedding_cosine(
     from .similarity_search import cosine_col, make_lsh_bucket_udf
 
     bucket_udf = make_lsh_bucket_udf(bits, n_tables)
-    base = embs.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("bucket", F.explode(bucket_udf(F.col("_v")))).persist()
+    base = persist_tracked(
+        embs.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).withColumn("bucket", F.explode(bucket_udf(F.col("_v"))))
+    )
     a = base.select("bucket", F.col("id").alias("id_a"), F.col("_v").alias("_va"))
     b = base.select("bucket", F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
+    # filter on the UNROUNDED cosine (exact verify — no borderline pair up
+    # to 5e-7 below threshold sneaks in via rounding); round only in the
+    # output projection for stable cross-engine value hashes.
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", F.round(cosine_col(F.col("_va"), F.col("_vb")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .withColumn("_cos", cosine_col(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine"))
     )
 
 

@@ -23,19 +23,27 @@ from ..functions.hashing import minhash_jaccard_est
 from ..functions.similarity import (
     indel_ratio_udf,
     jaro_winkler_udf,
+    make_indel_ratio_udf,
     token_set_ratio_udf,
 )
 
 
-def score_pairs(pairs: DataFrame, all_scores: bool = False) -> DataFrame:
+def score_pairs(
+    pairs: DataFrame, all_scores: bool = False, match_threshold: float | None = None
+) -> DataFrame:
     """Score candidate pairs. Input: (url_a, url_b, text_a, text_b,
     sig_a, sig_b). Output adds ``indel`` + ``mh_jaccard`` and ``score``
     (the InDel ratio — the reference's decision statistic,
     matching_engine.py:190). ``all_scores`` adds Jaro-Winkler and
     token-set ratio too (extra pandas-UDF passes — diagnostics, not the
-    match decision)."""
+    match decision). ``match_threshold`` is the decision threshold the
+    scores will be cut at downstream — it clamps the prescreen bound so
+    the fast path stays exact for thresholds below 0.80."""
+    indel = (
+        indel_ratio_udf if match_threshold is None else make_indel_ratio_udf(match_threshold)
+    )
     scored = pairs.withColumn(
-        "indel", indel_ratio_udf(F.col("text_a"), F.col("text_b"))
+        "indel", indel(F.col("text_a"), F.col("text_b"))
     ).withColumn("mh_jaccard", minhash_jaccard_est(F.col("sig_a"), F.col("sig_b")))
     if all_scores:
         scored = scored.withColumn(

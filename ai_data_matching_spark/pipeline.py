@@ -70,8 +70,12 @@ def run_pipeline(
         if io is None:
             # no snapshot layer: persist so downstream stages don't
             # recompute the expensive sketch/UDF expressions (each stage
-            # output is consumed 2-4× by later stages)
-            return compute().persist()
+            # output is consumed 2-4× by later stages). Registered with
+            # the cache registry — callers release via
+            # cache.release_persisted() once outputs are materialized.
+            from .cache import persist_tracked
+
+            return persist_tracked(compute())
         df, was_resumed = io.read_or_compute(spark, name, fp, compute)
         if was_resumed:
             resumed.append(name)
@@ -102,7 +106,9 @@ def run_pipeline(
         if io is not None:
             io.write_metric(overflow, "scored", "block_overflow")
         routed = route_unmatched(pairs, exact)
-        return score_pairs(routed).drop("sig_a", "sig_b", "text_a", "text_b")
+        return score_pairs(routed, match_threshold=cfg.fuzzy_threshold).drop(
+            "sig_a", "sig_b", "text_a", "text_b"
+        )
 
     scored = stage("scored", _scored)
     if io is not None:

@@ -96,3 +96,15 @@ def test_salted_join_round_trips(spark):
     assert salted.count() == plain.count()
     assert salted.select("k", "v", "name").exceptAll(plain).count() == 0
     assert plain.exceptAll(salted.select("k", "v", "name")).count() == 0
+
+
+def test_exact_edges_null_domain_group_kept(spark):
+    """Pages with a null norm_domain (unparseable url) that share a simhash
+    must still form an exact group — the join-back is null-safe."""
+    from ai_data_matching_spark.operators.blocking import exact_match_edges
+
+    rows = [("u1", None, 42), ("u2", None, 42), ("u3", "a.com", 42)]
+    blocked = spark.createDataFrame(rows, "url string, norm_domain string, simhash long")
+    edges = exact_match_edges(blocked)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {("u2", "u1")}

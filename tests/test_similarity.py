@@ -60,3 +60,25 @@ def test_udfs_match_scalar_kernels(spark):
     for r in got:
         assert r["i"] == pytest.approx(indel_ratio(r["a"], r["b"]))
         assert r["j"] == pytest.approx(jaro_winkler(r["a"], r["b"]))
+
+
+def test_prescreen_clamps_to_low_threshold(spark):
+    """With fuzzy_threshold < PRESCREEN_BOUND the UDF must return EXACT
+    ratios for every pair at/above the threshold — never the inflated
+    length-ratio bound (ADVICE r01: false fuzzy edges at threshold 0.7)."""
+    from ai_data_matching_spark.functions.similarity import (
+        indel_ratio,
+        make_indel_ratio_udf,
+    )
+
+    # |a|=7, |b|=9 → bound = 2*7/16 = 0.875? pick a pair whose bound is in
+    # [0.7, 0.8) but whose true ratio is far below 0.7
+    a, b = "abcdefg", "tuvwxyzjk"  # bound = 14/16 = 0.875 → need longer b
+    a, b = "abcdefg", "tuvwxyzjklmn"  # bound = 14/19 ≈ 0.7368, true ratio = 0
+    assert 0.7 <= 2 * min(len(a), len(b)) / (len(a) + len(b)) < 0.8
+    df = spark.createDataFrame([(a, b)], "x string, y string")
+    from pyspark.sql import functions as F
+
+    got = df.select(make_indel_ratio_udf(0.7)(F.col("x"), F.col("y")).alias("r")).collect()[0]["r"]
+    assert abs(got - indel_ratio(a, b)) < 1e-12
+    assert got < 0.7  # the true ratio — correctly below threshold
