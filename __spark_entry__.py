@@ -2,9 +2,11 @@
 
 ``queries()`` exposes the engine's operator inventory (SURVEY.md §2 +
 training-data extras) over the driver-provided parquet tables;
-``oracle_sql()`` gives DuckDB-equivalent SQL for every SQL-expressible
-query. Hash-based sketch operators (xxhash64-backed minhash/simhash/
-fingerprint/LSH) have no DuckDB twin → rows-only checks.
+``oracle_sql()`` gives DuckDB-equivalent SQL for EVERY query. The sketch
+queries (minhash/simhash/fingerprint) run over the portable md5-based
+sketch family (functions/portable.py) whose DuckDB twin is generated from
+the same Python constants; the embedding-LSH queries are checked against
+the exact all-pairs / brute-force result (a measured recall-1.0 gate).
 
 Column names are aliased identically on both sides; float aggregates are
 rounded on both sides so value-hashes match bit-for-bit.
@@ -202,24 +204,38 @@ def q_token_counts(spark, sf_dir):
     )
 
 
-def q_doc_fingerprint(spark, sf_dir):  # rows-only (xxhash64)
+def q_doc_fingerprint(spark, sf_dir):
+    """Portable fingerprint (md5-prefix 1-perm MinHash) — full DuckDB twin."""
+    from ai_data_matching_spark.functions.portable import fingerprint
+
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):  # rows-only (xxhash64)
-    from ai_data_matching_spark.operators.dedup import duplicate_pairs_minhash_lsh
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH pairs over the portable sketch — the DuckDB oracle runs
+    the ENTIRE sign→band→bucket-join→verify pipeline bit-identically."""
+    from ai_data_matching_spark.operators.dedup import duplicate_pairs_minhash_portable
 
-    return duplicate_pairs_minhash_lsh(_t(spark, sf_dir, "documents"), jaccard_threshold=0.2)
-
-
-def q_simhash_near_pairs(spark, sf_dir):  # rows-only (xxhash64)
-    from ai_data_matching_spark.operators.dedup import duplicate_pairs_simhash
-
-    return duplicate_pairs_simhash(_t(spark, sf_dir, "documents"), max_hamming=16)
+    return duplicate_pairs_minhash_portable(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.2
+    )
 
 
-def q_embedding_cosine_pairs(spark, sf_dir):  # rows-only (hash-derived hyperplanes)
+def q_simhash_near_pairs(spark, sf_dir):
+    """Portable 60-bit simhash band blocking; max_hamming < n_bands makes
+    band blocking provably equal to the oracle's all-pairs filter."""
+    from ai_data_matching_spark.operators.dedup import duplicate_pairs_simhash_portable
+
+    return duplicate_pairs_simhash_portable(
+        _t(spark, sf_dir, "documents"), n_bands=6, max_hamming=5
+    )
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    """LSH-bucketed near-dup pairs; the oracle computes the EXACT all-pairs
+    result, so the hash match doubles as a measured recall-1.0 gate for
+    the hyperplane-LSH candidate generation at this scale."""
     from ai_data_matching_spark.operators.dedup import duplicate_pairs_embedding_cosine
 
     return duplicate_pairs_embedding_cosine(
@@ -235,12 +251,16 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk_bruteforce(emb, queries, k=3)
 
 
-def q_ann_lsh_topk(spark, sf_dir):  # rows-only (hash-derived hyperplanes)
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH ANN; the oracle is the exact brute-force top-k, so the hash
+    match doubles as a measured recall-1.0 gate for the bucketed path at
+    this scale (bits=3 × 16 tables — verified exact at sf0.001 AND sf0.01;
+    at production scale raise bits for tighter buckets)."""
     from ai_data_matching_spark.operators.similarity_search import cosine_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return cosine_topk_lsh(emb, queries, k=3, bits=4, n_tables=12)
+    return cosine_topk_lsh(emb, queries, k=3, bits=3, n_tables=16)
 
 
 def q_mm_binary_meta(spark, sf_dir):
@@ -607,7 +627,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ai_data_matching_spark.functions import portable as PORT
+
     norm = _norm_sql("text")
+    # shared CTE chain for the portable sketches: tokens → distinct
+    # shingles → md5-prefix base hashes (same constants as the Spark side)
+    pt_w = PORT.SQL_TOKENS.format(text="text")
+    pt_sh = PORT.SQL_SHINGLES3.format(w="w")
+    sketch_cte = f"""
+            WITH t AS (SELECT doc_id, {pt_w} AS w FROM documents),
+            s AS (SELECT doc_id, {pt_sh} AS sh FROM t),
+            h AS (SELECT doc_id, sh, {PORT.sql_base_hashes('sh')} AS hs FROM s)"""
     stripped = (
         f"trim(regexp_replace(regexp_replace(norm_text, '{_STOP_PAT}', ' ', 'g'),"
         " '\\s+', ' ', 'g'))"
@@ -703,17 +733,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) reps
               USING (doc_id)
         """,
+        # mirrors the hot-shingle cap (max_posting_size=64): shingles in
+        # more than 64 docs of a block are excluded from the intersection
+        # (set sizes stay full), exactly like the Spark operator
         "ngram_jaccard_pairs": f"""
             WITH t AS (SELECT doc_id, lang, source, {tokens} AS w FROM documents),
             s AS (SELECT doc_id, lang, source,
-                         list_distinct({shingles3}) AS sh FROM t)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.sh, b.sh))::double
-                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-            FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
-            WHERE a.doc_id < b.doc_id
-              AND round(len(list_intersect(a.sh, b.sh))::double
-                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.02
+                         list_distinct({shingles3}) AS sh FROM t),
+            e AS (SELECT doc_id, lang, source, unnest(sh) AS g FROM s),
+            hot AS (SELECT lang, source, g FROM e
+                    GROUP BY lang, source, g HAVING count(*) > 64),
+            ec AS (SELECT e.doc_id, e.lang, e.source, e.g
+                   FROM e ANTI JOIN hot USING (lang, source, g)),
+            sc AS (SELECT doc_id, lang, source, list(g) AS shc
+                   FROM ec GROUP BY doc_id, lang, source),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         len(list_intersect(a.shc, b.shc)) AS inter,
+                         len(sa.sh) AS n_a, len(sb.sh) AS n_b
+                  FROM sc a JOIN sc b
+                    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+                  JOIN s sa ON a.doc_id = sa.doc_id
+                  JOIN s sb ON b.doc_id = sb.doc_id),
+            j AS (SELECT id_a, id_b, inter::DOUBLE / (n_a + n_b - inter) AS jac
+                  FROM p WHERE inter > 0)
+            SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.02
         """,
         "text_quality": f"""
             WITH t AS (SELECT doc_id, text, {tokens} AS w FROM documents),
@@ -754,6 +797,49 @@ def oracle_sql() -> dict[str, str]:
                        x -> greatest(ceil(length(x) / 6.0)::bigint, 1))), 0)
                     + length(regexp_replace(text, '[^.,;:!?]', '', 'g')))::bigint AS n_subwords
             FROM t
+        """,
+        "doc_fingerprint": f"""{sketch_cte}
+            SELECT doc_id, coalesce(list_min(hs), 0)::BIGINT AS fingerprint FROM h
+        """,
+        "minhash_lsh_pairs": f"""{sketch_cte},
+            g AS (SELECT doc_id, {PORT.sql_minhash_sig('hs')} AS sig FROM h),
+            e AS (SELECT doc_id,
+                         unnest({PORT.sql_minhash_band_keys('sig', 8)}) AS bucket FROM g),
+            c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM e a JOIN e b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            j AS (SELECT c.id_a, c.id_b,
+                         len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+                  FROM c JOIN s sa ON c.id_a = sa.doc_id
+                         JOIN s sb ON c.id_b = sb.doc_id)
+            SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.2
+        """,
+        "simhash_near_pairs": f"""{sketch_cte},
+            m AS (SELECT doc_id, {PORT.sql_simhash60('hs')} AS sim FROM h)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+            FROM m a JOIN m b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 5
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.5
+        """,
+        "ann_lsh_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                       WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+              FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM scored)
+            SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM r WHERE rank <= 3
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

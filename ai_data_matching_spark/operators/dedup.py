@@ -104,6 +104,93 @@ def duplicate_pairs_minhash_lsh(
     )
 
 
+def duplicate_pairs_minhash_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    jaccard_threshold: float = 0.2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs over the PORTABLE sketch family
+    (functions/portable.py: md5-prefix base hash + (a·h+b) mod 2^61-1
+    universal hashes) — bit-identical computable in DuckDB, so the driver
+    oracle checks the FULL pipeline: sign → band → bucket-join →
+    exact-Jaccard verify. Same shape and scale behavior as
+    :func:`duplicate_pairs_minhash_lsh` (which keeps the faster
+    blake2b/numpy sketch for the ER hot path). Verification filters on the
+    UNROUNDED exact Jaccard; rounding only in the output projection.
+    """
+    from ..functions import portable as P
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        P.portable_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    ).withColumn("_sig", P.minhash_sig(P.base_hashes(F.col("_sh"))))
+    bands = persist_tracked(
+        base.select(
+            "id", "_sh", F.explode(P.minhash_band_keys(F.col("_sig"), n_bands)).alias("bucket")
+        )
+    )
+    a = bands.select("bucket", F.col("id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = bands.select("bucket", F.col("id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(1.0))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("_jac", jac)
+        .filter(F.col("_jac") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("_jac", 6).alias("jaccard"))
+    )
+
+
+def duplicate_pairs_simhash_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 6,
+    max_hamming: int = 5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs over the PORTABLE 60-bit sketch.
+
+    Requires ``max_hamming < n_bands``: by pigeonhole, any pair within the
+    Hamming bound has at least one band untouched by the flipped bits, so
+    band blocking finds EVERY qualifying pair — the result is provably
+    equal to the all-pairs Hamming filter, which is exactly what the
+    DuckDB oracle computes (no banding needed oracle-side).
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole guarantee needs max_hamming < n_bands")
+    from ..functions import portable as P
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        P.simhash60(P.base_hashes(P.portable_shingles(F.col(text_col), shingle_k))).alias(
+            "_sim"
+        ),
+    )
+    bands = persist_tracked(
+        base.select(
+            "id", "_sim", F.explode(P.simhash60_band_keys(F.col("_sim"), n_bands)).alias("bucket")
+        )
+    )
+    a = bands.select("bucket", F.col("id").alias("id_a"), F.col("_sim").alias("_sim_a"))
+    b = bands.select("bucket", F.col("id").alias("id_b"), F.col("_sim").alias("_sim_b"))
+    ham = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def duplicate_pairs_simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -141,6 +228,9 @@ def duplicate_pairs_simhash(
     )
 
 
+DEFAULT_MAX_POSTING_SIZE = 64
+
+
 def duplicate_pairs_ngram_jaccard(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -148,7 +238,9 @@ def duplicate_pairs_ngram_jaccard(
     block_cols: list[str] | None = None,
     shingle_k: int = 3,
     threshold: float = 0.5,
-) -> DataFrame:
+    max_posting_size: int = DEFAULT_MAX_POSTING_SIZE,
+    return_overflow: bool = False,
+):
     """Word n-gram Jaccard over candidate pairs within blocks — exact
     result within the blocking, computed in the scalable explode-join
     shape: explode (id, shingle), self-join on (block, shingle), count
@@ -157,6 +249,16 @@ def duplicate_pairs_ngram_jaccard(
     measured ~50× slower at sf0.1) and only ever touches pairs that share
     at least one shingle — which is every pair that can clear a positive
     threshold. Blocks default to (lang, source); requires threshold > 0.
+
+    Skew guard (same pattern as blocking.hot_keys): shingles whose posting
+    list within a block exceeds ``max_posting_size`` are EXCLUDED from the
+    self-join — a boilerplate stop-shingle in k docs would otherwise emit
+    k² join rows. Each dropped shingle lowers a pair's intersection count
+    by at most 1 (set semantics), so the reported jaccard is a lower bound
+    that is tight for pairs not sharing hot shingles; pairs sharing ONLY
+    hot shingles are not emitted. Dropped shingles are visible, never
+    silent: ``return_overflow=True`` returns ``(pairs, overflow)`` where
+    overflow = (block..., shingle, posting_size).
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are never emitted)")
@@ -173,10 +275,22 @@ def duplicate_pairs_ngram_jaccard(
     ex = persist_tracked(
         base.select(*block_cols, "id", "_n", F.explode("_sh").alias("_shingle"))
     )
-    a = ex.select(
+    # hot-shingle scan: one map-side-combined agg of (block, shingle) →
+    # count; only keys above the cap survive, so the broadcast stays tiny
+    overflow = (
+        ex.groupBy(*block_cols, "_shingle")
+        .agg(F.count("*").alias("posting_size"))
+        .filter(F.col("posting_size") > max_posting_size)
+    )
+    cold = ex.join(
+        F.broadcast(overflow.select(*block_cols, "_shingle")),
+        [*block_cols, "_shingle"],
+        "left_anti",
+    )
+    a = cold.select(
         *block_cols, "_shingle", F.col("id").alias("id_a"), F.col("_n").alias("_n_a")
     )
-    b = ex.select(
+    b = cold.select(
         *block_cols, "_shingle", F.col("id").alias("id_b"), F.col("_n").alias("_n_b")
     )
     inter = (
@@ -188,11 +302,14 @@ def duplicate_pairs_ngram_jaccard(
     jac = F.col("_inter").cast("double") / (
         F.col("_n_a") + F.col("_n_b") - F.col("_inter")
     ).cast("double")
-    return (
-        inter.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    pairs = (
+        inter.withColumn("_jac", jac)
+        .filter(F.col("_jac") >= threshold)
+        .select("id_a", "id_b", F.round("_jac", 6).alias("jaccard"))
     )
+    if return_overflow:
+        return pairs, overflow.withColumnRenamed("_shingle", "shingle")
+    return pairs
 
 
 def duplicate_pairs_embedding_cosine(

@@ -97,3 +97,41 @@ def test_embedding_cosine_pairs_recall(spark):
     assert got <= want  # verification is exact: no false positives
     if want:
         assert len(got & want) / len(want) >= 0.8  # LSH recall
+
+
+def test_ngram_hot_shingle_cap_bounds_pairs(spark):
+    """A stop-shingle present in every doc of a block must not generate
+    k² join rows: with the cap live, pairs sharing ONLY the hot shingle
+    are pruned and the overflow metric reports the shingle (VERDICT r01
+    scale-killer #1)."""
+    from ai_data_matching_spark.operators.dedup import duplicate_pairs_ngram_jaccard
+
+    boiler = "click here to accept cookies"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique content piece number {i} extra", "en", "s0")
+         for i in range(40)],
+        "doc_id long, text string, lang string, source string",
+    )
+    # uncapped: every doc pair shares the boilerplate shingles → quadratic
+    uncapped = duplicate_pairs_ngram_jaccard(docs, threshold=0.01, max_posting_size=10**6)
+    assert uncapped.count() == 40 * 39 // 2
+    capped, overflow = duplicate_pairs_ngram_jaccard(
+        docs, threshold=0.01, max_posting_size=16, return_overflow=True
+    )
+    assert capped.count() == 0  # no pair shares a COLD shingle
+    over = {r["shingle"] for r in overflow.collect()}
+    assert "click here to" in over and all(r["posting_size"] == 40 for r in overflow.collect())
+
+
+def test_ngram_cap_keeps_true_near_dups(spark):
+    """Pairs similar beyond the boilerplate keep (lower-bound) jaccard."""
+    from ai_data_matching_spark.operators.dedup import duplicate_pairs_ngram_jaccard
+
+    boiler = "terms of service apply here"
+    rows = [(i, f"{boiler} filler row {i} pad pad", "en", "s0") for i in range(30)]
+    rows += [(100, f"{boiler} real shared body of text one", "en", "s0"),
+             (101, f"{boiler} real shared body of text two", "en", "s0")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    pairs = duplicate_pairs_ngram_jaccard(docs, threshold=0.2, max_posting_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100, 101) in got
