@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_data_matching_spark.extract import (
+    _BUSINESS_SUFFIXES,
     _LOCATION_PATTERNS,
-    _SUFFIX_RE,
+    _VARIANT_STOPWORDS,
     normalize_name_col,
     variants_col,
 )
@@ -68,13 +69,26 @@ def _norm_sql(col: str) -> str:
     expr = f"lower(trim(coalesce(cast({col} AS varchar), '')))"
     for pat in _LOCATION_PATTERNS:
         expr = f"regexp_replace({expr}, '{pat}', '', 'g')"
-    expr = f"regexp_replace({expr}, '{_SUFFIX_RE}', '', 'g')"
+    # sequential anchored suffix strips, same order + cumulative effect as
+    # the reference's endswith loop (each $-anchored replace fires ≤ once)
+    for s in _BUSINESS_SUFFIXES:
+        pat = "[ .]" + s.replace(".", "\\.") + "$"
+        expr = f"trim(regexp_replace({expr}, '{pat}', ''))"
     return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
 
 
 _BLOCK_KEY_SQL = "array_to_string(list_slice(string_split(norm_text, ' '), 1, 2), ' ')"
 
-_STOP_PAT = r"\b(the|and|group|international|global|services)\b|&"
+_STOPS_SQL = ", ".join(f"'{w}'" for w in _VARIANT_STOPWORDS)
+
+
+def _rates_sql() -> str:
+    from ai_data_matching_spark.functions.currency import FALLBACK_RATES
+
+    return ", ".join(f"('{c}', {r})" for c, r in sorted(FALLBACK_RATES.items()))
+
+
+_RATES_SQL = _rates_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -87,17 +101,39 @@ def q_p1_normalize(spark, sf_dir):
 
 
 def q_p2_variants(spark, sf_dir):
+    """P2 — reference variant set {original, normalized, stopword-stripped}
+    (matching_engine.py:60-79) with set-order fixed by priorities; dedup
+    by variant string keeps the lowest priority."""
     d = _with_norm(_t(spark, sf_dir, "documents"))
     v = d.select("doc_id", F.explode(variants_col(F.col("text"), F.col("norm_text"))).alias("v"))
-    return v.select(
-        "doc_id", F.col("v.priority").alias("priority"), F.col("v.variant").alias("variant")
+    return (
+        v.groupBy("doc_id", F.col("v.variant").alias("variant"))
+        .agg(F.min("v.priority").alias("priority"))
+        .select("doc_id", "priority", "variant")
     )
+
+
+# Demo-surface skew guard: blocks larger than this are excluded from the
+# contract queries' pairwise joins (mirrored in the DuckDB oracles), the
+# same shape as the engine path's candidate_pairs(max_block_size=...) —
+# the self-join is O(block²) and must never see an unbounded block.
+DEMO_BLOCK_CAP = 1000
+
+
+def _cap_blocks(d: DataFrame, keys: list[str], cap: int = DEMO_BLOCK_CAP) -> DataFrame:
+    """Drop rows whose block (by ``keys``) exceeds ``cap`` members — hot
+    keys are few, so the anti-join side broadcasts."""
+    hot = (
+        d.groupBy(*keys).agg(F.count("*").alias("_bs")).filter(F.col("_bs") > cap)
+    )
+    return d.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
 
 
 def q_j1_exact_block_join(spark, sf_dir):
     d = _with_norm(_t(spark, sf_dir, "documents")).withColumn(
         "block_key", _block_key(F.col("norm_text"))
     )
+    d = _cap_blocks(d, ["lang", "block_key"])
     a = d.select(F.col("lang"), F.col("block_key"), F.col("doc_id").alias("doc_id_a"))
     b = d.select(F.col("lang"), F.col("block_key"), F.col("doc_id").alias("doc_id_b"))
     return (
@@ -120,6 +156,7 @@ def q_j3_fuzzy_scored_pairs(spark, sf_dir):
     d = _with_norm(_t(spark, sf_dir, "documents")).withColumn(
         "prefix", F.substring(F.col("norm_text"), 1, 60)
     )
+    d = _cap_blocks(d, ["lang", "source"])
     a = d.select("lang", "source", F.col("doc_id").alias("doc_id_a"), F.col("prefix").alias("pa"))
     b = d.select("lang", "source", F.col("doc_id").alias("doc_id_b"), F.col("prefix").alias("pb"))
     lev = F.levenshtein(F.col("pa"), F.col("pb"))
@@ -310,23 +347,26 @@ def q_q3_top_revenue_orders(spark, sf_dir):
 
 
 def q_p7_currency_convert(spark, sf_dir):
+    """P7 — reference-parity conversion (currency_converter.py:76-129):
+    17-rate fallback dim, upper/trim + null→USD normalization, and
+    unknown-currency PASSTHROUGH (left join + flag, rows never dropped).
+    The derived code column exercises every branch: known, USD, messy
+    casing/padding, unknown, and null."""
+    from ai_data_matching_spark.functions.currency import with_usd
+
     o = _t(spark, sf_dir, "orders")
     ccy = (
-        F.when(F.col("o_custkey") % 5 == 0, F.lit("USD"))
-        .when(F.col("o_custkey") % 5 == 1, F.lit("EUR"))
-        .when(F.col("o_custkey") % 5 == 2, F.lit("GBP"))
-        .when(F.col("o_custkey") % 5 == 3, F.lit("JPY"))
-        .otherwise(F.lit("INR"))
+        F.when(F.col("o_custkey") % 7 == 0, F.lit("USD"))
+        .when(F.col("o_custkey") % 7 == 1, F.lit("EUR"))
+        .when(F.col("o_custkey") % 7 == 2, F.lit(" gbp "))
+        .when(F.col("o_custkey") % 7 == 3, F.lit("jpy"))
+        .when(F.col("o_custkey") % 7 == 4, F.lit("XYZ"))
+        .when(F.col("o_custkey") % 7 == 5, F.lit(None).cast("string"))
+        .otherwise(F.lit("KRW"))
     )
-    rates = spark.sql(
-        "SELECT * FROM VALUES ('USD', 1.0D), ('EUR', 0.92D), ('GBP', 0.79D),"
-        " ('JPY', 151.0D), ('INR', 83.0D) AS t(currency, rate)"
-    )
-    with_ccy = o.withColumn("currency", ccy)
-    return (
-        with_ccy.join(F.broadcast(rates), "currency")
-        .withColumn("total_usd", F.round(F.col("o_totalprice") / F.col("rate"), 2))
-        .select("o_orderkey", "currency", "total_usd")
+    with_ccy = o.withColumn("ccy_raw", ccy)
+    return with_usd(with_ccy, "o_totalprice", "ccy_raw").select(
+        "o_orderkey", "currency", "total_usd", "conversion_applied"
     )
 
 
@@ -458,6 +498,33 @@ def q_p13_date_math(spark, sf_dir):
         days.cast("long").alias("age_days"),
         (days < 90).alias("is_recent"),
     )
+
+
+def q_s6_column_mapping(spark, sf_dir):
+    """S6 — map a scrambled-header table onto the canonical schema via the
+    deterministic finder (data_processor.py:322-338 semantics): exact
+    match, word-partial match, candidate priority."""
+    from ai_data_matching_spark.sources.column_mapper import map_to_schema
+
+    scrambled = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias(" Event ID "),        # exact after strip/lower
+        F.col("user_id").alias("User-Identifier"),    # word-partial ('user')
+        F.col("value").alias("Event Value"),          # substring partial
+        F.col("event_type").alias("kind"),            # unmapped, dropped
+    )
+    mapped = map_to_schema(
+        scrambled,
+        {
+            "event_id": ["event id"],
+            # NB: a candidate like "user id" would word-match 'id' against
+            # 'event id' first — the reference's loose any-word rule;
+            # candidates must be chosen accordingly
+            "user_id": ["user identifier"],
+            "value": ["total value", "event value"],
+        },
+        require=["event_id", "user_id", "value"],
+    )
+    return mapped.withColumn("value", F.round("value", 6))
 
 
 def q_json_extract_props(spark, sf_dir):
@@ -615,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p12_status_derivation": q_p12_status_derivation,
         "p13_date_math": q_p13_date_math,
         "json_extract_props": q_json_extract_props,
+        "s6_column_mapping": q_s6_column_mapping,
         "a1_per_source_rollup": q_a1_per_source_rollup,
         "a4_match_statistics": q_a4_match_statistics,
         "a5_value_counts_top": q_a5_value_counts_top,
@@ -638,10 +706,19 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT doc_id, {pt_w} AS w FROM documents),
             s AS (SELECT doc_id, {pt_sh} AS sh FROM t),
             h AS (SELECT doc_id, sh, {PORT.sql_base_hashes('sh')} AS hs FROM s)"""
-    stripped = (
-        f"trim(regexp_replace(regexp_replace(norm_text, '{_STOP_PAT}', ' ', 'g'),"
-        " '\\s+', ' ', 'g'))"
-    )
+    # shared capped-block CTE chains — mirror _cap_blocks(DEMO_BLOCK_CAP)
+    j1_cte = f"""
+            WITH d AS (SELECT doc_id, lang, {norm} AS norm_text FROM documents),
+            k AS (SELECT doc_id, lang, {_BLOCK_KEY_SQL} AS block_key FROM d),
+            hotb AS (SELECT lang, block_key FROM k
+                     GROUP BY lang, block_key HAVING count(*) > {DEMO_BLOCK_CAP}),
+            kc AS (SELECT k.* FROM k ANTI JOIN hotb USING (lang, block_key))"""
+    j3_cte = f"""
+            WITH d AS (SELECT doc_id, lang, source,
+                              substr({norm}, 1, 60) AS prefix FROM documents),
+            hotb AS (SELECT lang, source FROM d
+                     GROUP BY lang, source HAVING count(*) > {DEMO_BLOCK_CAP}),
+            dc AS (SELECT d.* FROM d ANTI JOIN hotb USING (lang, source))"""
     tokens = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     shingles3 = (
         "CASE WHEN len(w) >= 3 THEN "
@@ -666,49 +743,50 @@ def oracle_sql() -> dict[str, str]:
     return {
         "p1_normalize_text": f"SELECT doc_id, {norm} AS norm_text FROM documents",
         "p2_blocking_variants": f"""
-            WITH n AS (SELECT doc_id, {norm} AS norm_text FROM documents),
-            s AS (SELECT doc_id, norm_text, {stripped} AS stripped FROM n)
-            SELECT doc_id, 0 AS priority, norm_text AS variant FROM s
-             WHERE length(norm_text) >= 3
-            UNION ALL
-            SELECT doc_id, 1 AS priority, stripped AS variant FROM s
-             WHERE length(norm_text) >= 3 AND stripped <> norm_text AND length(stripped) >= 3
+            WITH n AS (SELECT doc_id, text, {norm} AS norm_text FROM documents),
+            f AS (SELECT doc_id, text, norm_text,
+                         list_filter(string_split(norm_text, ' '),
+                           w -> w <> '' AND w NOT IN ({_STOPS_SQL})) AS fw
+                  FROM n WHERE text IS NOT NULL AND length(text) >= 3),
+            v AS (
+              SELECT doc_id, 0 AS priority, text AS variant FROM f
+              UNION ALL
+              SELECT doc_id, 1 AS priority, norm_text AS variant FROM f
+               WHERE norm_text <> '' AND norm_text <> lower(text)
+              UNION ALL
+              SELECT doc_id, 2 AS priority, array_to_string(fw, ' ') AS variant FROM f
+               WHERE len(fw) > 0 AND array_to_string(fw, ' ') <> norm_text
+            )
+            SELECT doc_id, min(priority) AS priority, variant
+            FROM v GROUP BY doc_id, variant
         """,
-        "j1_exact_block_join": f"""
-            WITH d AS (SELECT doc_id, lang, {norm} AS norm_text FROM documents),
-            k AS (SELECT doc_id, lang, {_BLOCK_KEY_SQL} AS block_key FROM d)
+        "j1_exact_block_join": f"""{j1_cte}
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.block_key
-            FROM k a JOIN k b ON a.lang = b.lang AND a.block_key = b.block_key
+            FROM kc a JOIN kc b ON a.lang = b.lang AND a.block_key = b.block_key
             WHERE a.doc_id < b.doc_id
         """,
-        "j2_unmatched_antijoin": f"""
-            WITH d AS (SELECT doc_id, lang, source, {norm} AS norm_text FROM documents),
-            k AS (SELECT doc_id, lang, {_BLOCK_KEY_SQL} AS block_key FROM d)
+        "j2_unmatched_antijoin": f"""{j1_cte}
             SELECT d.doc_id, d.lang, d.source FROM documents d
             WHERE NOT EXISTS (
-              SELECT 1 FROM k a JOIN k b
+              SELECT 1 FROM kc a JOIN kc b
                 ON a.lang = b.lang AND a.block_key = b.block_key AND a.doc_id < b.doc_id
               WHERE a.doc_id = d.doc_id OR b.doc_id = d.doc_id)
         """,
-        "j3_fuzzy_scored_pairs": f"""
-            WITH d AS (SELECT doc_id, lang, source,
-                              substr({norm}, 1, 60) AS prefix FROM documents)
+        "j3_fuzzy_scored_pairs": f"""{j3_cte}
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                    round(1.0 - levenshtein(a.prefix, b.prefix)::double
                          / greatest(length(a.prefix), length(b.prefix), 1), 6) AS lev_sim
-            FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+            FROM dc a JOIN dc b ON a.lang = b.lang AND a.source = b.source
             WHERE a.doc_id < b.doc_id
               AND round(1.0 - levenshtein(a.prefix, b.prefix)::double
                   / greatest(length(a.prefix), length(b.prefix), 1), 6) >= 0.3
         """,
-        "o3_best_match_per_doc": f"""
-            WITH d AS (SELECT doc_id, lang, source,
-                              substr({norm}, 1, 60) AS prefix FROM documents),
+        "o3_best_match_per_doc": f"""{j3_cte},
             p AS (
               SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                      round(1.0 - levenshtein(a.prefix, b.prefix)::double
                            / greatest(length(a.prefix), length(b.prefix), 1), 6) AS lev_sim
-              FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+              FROM dc a JOIN dc b ON a.lang = b.lang AND a.source = b.source
               WHERE a.doc_id < b.doc_id),
             f AS (SELECT * FROM p WHERE lev_sim >= 0.3),
             r AS (SELECT *, row_number() OVER
@@ -879,16 +957,25 @@ def oracle_sql() -> dict[str, str]:
                     (ORDER BY revenue DESC, o_orderkey) AS rk FROM j)
             SELECT o_orderkey, c_name, revenue, rk::bigint AS rk FROM r WHERE rk <= 10
         """,
-        "p7_currency_convert": """
+        "p7_currency_convert": f"""
             WITH cc AS (SELECT o_orderkey, o_totalprice,
-                   CASE o_custkey % 5 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
-                        WHEN 2 THEN 'GBP' WHEN 3 THEN 'JPY' ELSE 'INR' END AS currency
+                   CASE o_custkey % 7 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+                        WHEN 2 THEN ' gbp ' WHEN 3 THEN 'jpy' WHEN 4 THEN 'XYZ'
+                        WHEN 5 THEN NULL ELSE 'KRW' END AS ccy_raw
                  FROM orders),
-            rates(currency, rate) AS (VALUES ('USD', 1.0), ('EUR', 0.92),
-                   ('GBP', 0.79), ('JPY', 151.0), ('INR', 83.0))
-            SELECT cc.o_orderkey, cc.currency,
-                   round(cc.o_totalprice / r.rate, 2) AS total_usd
-            FROM cc JOIN rates r USING (currency)
+            n AS (SELECT o_orderkey, o_totalprice,
+                         coalesce(upper(trim(ccy_raw)), 'USD') AS currency FROM cc),
+            rates(currency, rate) AS (VALUES {_RATES_SQL}),
+            j AS (SELECT n.*, r.rate FROM n LEFT JOIN rates r USING (currency))
+            SELECT o_orderkey, currency,
+                   CASE WHEN o_totalprice IS NULL OR o_totalprice = 0 THEN 0.0
+                        WHEN currency <> 'USD' AND rate IS NOT NULL AND rate > 0
+                          THEN round(CAST(o_totalprice / rate AS DECIMAL(24,6)), 2)::DOUBLE
+                        ELSE o_totalprice::DOUBLE END AS total_usd,
+                   (currency <> 'USD' AND rate IS NOT NULL AND rate > 0
+                    AND o_totalprice IS NOT NULL AND o_totalprice <> 0)
+                     AS conversion_applied
+            FROM j
         """,
         "p3_extract_numeric": """
             SELECT event_id,
@@ -969,15 +1056,16 @@ def oracle_sql() -> dict[str, str]:
                    try_cast(json_extract_string(props, '$.k') AS bigint) AS k_val
             FROM events
         """,
+        "s6_column_mapping": """
+            SELECT event_id, user_id, round(value, 6) AS value FROM events
+        """,
         "a1_per_source_rollup": """
             SELECT source, count(*) AS n_docs, sum(n_chars)::bigint AS total_chars,
                    min(doc_id) AS first_doc_id
             FROM documents GROUP BY source
         """,
-        "a4_match_statistics": f"""
-            WITH d AS (SELECT doc_id, lang, {norm} AS norm_text FROM documents),
-            k AS (SELECT doc_id, lang, {_BLOCK_KEY_SQL} AS block_key FROM d),
-            p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM k a JOIN k b
+        "a4_match_statistics": f"""{j1_cte},
+            p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM kc a JOIN kc b
                     ON a.lang = b.lang AND a.block_key = b.block_key
                   WHERE a.doc_id < b.doc_id),
             m AS (SELECT DISTINCT doc_id FROM

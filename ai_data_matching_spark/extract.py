@@ -50,14 +50,23 @@ _LOCATION_PATTERNS: list[str] = [
     r"\s+worldwide$",
 ]
 
-# Business suffixes stripped when preceded by space/dot at end of string.
+# Business suffixes stripped when preceded by ' ' or '.', in THIS order,
+# one sequential pass with cumulative effect ("acme co. ltd." loses 'ltd.'
+# then 'co.') — the reference's exact list and loop semantics
+# (/root/reference/src/matching_engine.py:43-56). Deliberately NO
+# additions (r01 carried holdings/services/solutions/... which the
+# reference does not strip — removed for parity; the stopword VARIANT
+# still drops 'group' etc. at matching time).
 _BUSINESS_SUFFIXES: list[str] = [
-    "inc", "corp", "corporation", "company", "co", "ltd", "limited",
-    "llc", "llp", "lp", "plc", "sa", "ag", "gmbh", "group", "holdings",
-    "services", "solutions", "technologies", "systems",
+    "inc", "inc.", "corp", "corp.", "ltd", "ltd.", "llc", "llc.",
+    "limited", "corporation", "incorporated", "company", "co.",
+    "gmbh", "ag", "sa", "nv", "bv", "srl", "spa", "plc",
 ]
 
-_SUFFIX_RE = r"[\s.]+(" + "|".join(_BUSINESS_SUFFIXES) + r")\.?$"
+# per-suffix anchored patterns: one ' ' or '.' separator + literal suffix
+_SUFFIX_PATTERNS: list[str] = [
+    r"[ .]" + re.escape(s) + r"$" for s in _BUSINESS_SUFFIXES
+]
 
 # Stopwords removed to form the third matching variant (config-equivalent of
 # /root/reference/src/matching_engine.py:72-75).
@@ -68,55 +77,72 @@ FUZZY_THRESHOLD = 0.85      # /root/reference/src/config.py:26
 
 
 def normalize_name_col(col: Column) -> Column:
-    """Spark-native chain equivalent to the reference normalizer.
-
-    null → '' ; lowercase+trim ; ordered location-pattern removal ;
-    one business-suffix strip pass ; whitespace collapse.
+    """Spark-native chain equivalent to the reference normalizer
+    (matching_engine.py:21-58): null → '' ; lowercase+trim ; ordered
+    location-pattern removal ; sequential business-suffix strip (each
+    anchored replace removes at most one trailing suffix, matching the
+    reference's endswith-then-slice loop) ; whitespace collapse.
     """
     c = F.lower(F.trim(F.coalesce(col.cast("string"), F.lit(""))))
     for pat in _LOCATION_PATTERNS:
         c = F.regexp_replace(c, pat, "")
-    c = F.regexp_replace(c, _SUFFIX_RE, "")
+    for pat in _SUFFIX_PATTERNS:
+        c = F.trim(F.regexp_replace(c, pat, ""))
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return c
 
 
 def normalize_name_py(value: str | None) -> str:
-    """Pure-Python twin of :func:`normalize_name_col` (unit-test oracle)."""
+    """Pure-Python twin of :func:`normalize_name_col` (unit-test oracle);
+    mirrors the reference's endswith loop verbatim."""
     if value is None or not isinstance(value, str):
         return ""
     c = value.strip().lower()
     for pat in _LOCATION_PATTERNS:
         c = re.sub(pat, "", c)
-    c = re.sub(_SUFFIX_RE, "", c)
+    for suffix in _BUSINESS_SUFFIXES:
+        if c.endswith(f" {suffix}") or c.endswith(f".{suffix}"):
+            c = c[: -len(suffix) - 1].strip()
     return re.sub(r"\s+", " ", c).strip()
 
 
 def variants_col(raw: Column, normalized: Column) -> Column:
-    """Ordered, de-duplicated matching variants (P2 with fixed order).
+    """Ordered matching variants — reference ``create_matching_variants``
+    (matching_engine.py:60-79) with the set-order nondeterminism fixed via
+    explicit priorities:
 
-    Returns ``array<struct<priority:int, variant:string>>``; priority 0 =
-    normalized form, 1 = stopword-stripped form. Empty array when the
-    normalized form is shorter than MIN_MATCH_LENGTH — mirrors the
-    reference's ``len < 3 → []`` guard.
+    * priority 0 — the ORIGINAL raw name (as-is, original case);
+    * priority 1 — the normalized form, when non-empty and ≠ lower(raw);
+    * priority 2 — normalized minus stopword TOKENS (token filter, not a
+      regex — so "at&t" survives while a standalone "&" token drops),
+      when non-empty and changed.
+
+    Guard on the RAW name length (< MIN_MATCH_LENGTH or null → []), as the
+    reference does; per-variant length filtering is the LOOKUP's job (J1).
+    Returns ``array<struct<priority:int, variant:string>>``; duplicates by
+    string are possible (the reference dedups via set()) — consumers dedup
+    keeping the lowest priority.
     """
-    stop_pat = (
-        r"\b(" + "|".join(re.escape(w) for w in _VARIANT_STOPWORDS if w != "&") + r")\b|&"
+    empty = F.array().cast("array<struct<priority:int,variant:string>>")
+    words = F.filter(F.split(normalized, " "), lambda w: w != "")
+    filtered = F.filter(
+        words, lambda w: ~w.isin(*[F.lit(s) for s in _VARIANT_STOPWORDS])
     )
-    stripped = F.trim(F.regexp_replace(F.regexp_replace(normalized, stop_pat, " "), r"\s+", " "))
-    # stripped variant only when it differs (reference "if changed" guard,
-    # matching_engine.py:72-77) — also deduplicates by construction
-    arr = F.when(
-        stripped != normalized,
-        F.array(
-            F.struct(F.lit(0).alias("priority"), normalized.alias("variant")),
-            F.struct(F.lit(1).alias("priority"), stripped.alias("variant")),
-        ),
-    ).otherwise(F.array(F.struct(F.lit(0).alias("priority"), normalized.alias("variant"))))
-    arr = F.filter(arr, lambda s: F.length(s["variant"]) >= MIN_MATCH_LENGTH)
-    return F.when(F.length(normalized) >= MIN_MATCH_LENGTH, arr).otherwise(
-        F.array().cast("array<struct<priority:int,variant:string>>")
+    stripped = F.array_join(filtered, " ")
+    arr = F.concat(
+        F.array(F.struct(F.lit(0).alias("priority"), raw.cast("string").alias("variant"))),
+        F.when(
+            (normalized != "") & (normalized != F.lower(raw.cast("string"))),
+            F.array(F.struct(F.lit(1).alias("priority"), normalized.alias("variant"))),
+        ).otherwise(empty),
+        F.when(
+            (F.size(filtered) > 0) & (stripped != normalized),
+            F.array(F.struct(F.lit(2).alias("priority"), stripped.alias("variant"))),
+        ).otherwise(empty),
     )
+    return F.when(
+        raw.isNotNull() & (F.length(raw.cast("string")) >= MIN_MATCH_LENGTH), arr
+    ).otherwise(empty)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,111 @@
+"""K1/K2-lite — driver-side report sinks.
+
+Mirrors the reference's export surface (/root/reference/src/
+export_manager.py:11-78): a multi-sheet workbook (Matches / Summary /
+Match Analysis / Top Relationships) and a self-contained HTML report —
+re-expressed over the graft domain (clusters instead of vendor-client
+relationships).
+
+Spark's job ends at a BOUNDED collect (top ``max_rows`` clusters by size
++ the one-row stats frame); everything after is driver-side presentation,
+exactly like the reference. The xlsx writer is gated behind an import-try
+(openpyxl/xlsxwriter are not in this container): when absent, each sheet
+lands as ``<dir>/<sheet>.csv`` with the same names and shapes — an honest
+documented fallback, not a stub.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHEETS = ["Matches", "Summary", "Match Analysis", "Top Relationships"]
+
+
+def build_report_frames(
+    clusters: DataFrame,
+    stats: DataFrame,
+    top_n: int = 20,
+    max_rows: int = 10_000,
+) -> dict[str, pd.DataFrame]:
+    """Collect the bounded presentation frames (sheet name → pandas df).
+
+    * Matches — up to ``max_rows`` clusters, largest first (member-detail
+      arrays dropped: presentation keeps scalar columns only);
+    * Summary — Metric/Value long form of the stats row;
+    * Match Analysis — per-match-quality count + page sums (reference's
+      match-type breakdown, export_manager.py:40-48);
+    * Top Relationships — top ``top_n`` clusters by size.
+    """
+    scalar_cols = [c for c in clusters.columns if c != "members"]
+    matches = (
+        clusters.select(*scalar_cols)
+        .orderBy(F.desc("n_pages"), F.asc("representative_url"))
+        .limit(max_rows)
+        .toPandas()
+    )
+    stats_row = stats.toPandas().iloc[0].to_dict()
+    summary = pd.DataFrame(
+        {"Metric": list(stats_row), "Value": [str(v) for v in stats_row.values()]}
+    )
+    analysis = (
+        matches.groupby("match_quality", as_index=False)
+        .agg(Count=("cluster_id", "count"), Pages=("n_pages", "sum"))
+        .sort_values("match_quality")
+        .reset_index(drop=True)
+    )
+    top = matches.nlargest(top_n, "n_pages").reset_index(drop=True)
+    return {
+        "Matches": matches,
+        "Summary": summary,
+        "Match Analysis": analysis,
+        "Top Relationships": top,
+    }
+
+
+def export_workbook(frames: dict[str, pd.DataFrame], path: str) -> str:
+    """Write the sheets as one .xlsx if an engine is available, else as
+    ``<path-without-ext>/<sheet>.csv``. Returns the path written."""
+    try:
+        import openpyxl  # noqa: F401
+
+        engine = "openpyxl"
+    except ImportError:
+        try:
+            import xlsxwriter  # noqa: F401
+
+            engine = "xlsxwriter"
+        except ImportError:
+            engine = None
+    if engine is not None:
+        with pd.ExcelWriter(path, engine=engine) as writer:
+            for name, df in frames.items():
+                df.to_excel(writer, sheet_name=name, index=False)
+        return path
+    out_dir = os.path.splitext(path)[0]
+    os.makedirs(out_dir, exist_ok=True)
+    for name, df in frames.items():
+        df.to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
+    return out_dir
+
+
+def export_html(frames: dict[str, pd.DataFrame], title: str = "Match Report") -> str:
+    """Self-contained HTML report (no external assets/libs), one section
+    per sheet — the K2 analog of export_manager.create_html_export."""
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<title>{_html.escape(title)}</title>",
+        "<style>body{font-family:sans-serif;margin:2em}table{border-collapse:"
+        "collapse}th,td{border:1px solid #999;padding:4px 8px;font-size:13px}"
+        "th{background:#eee}</style></head><body>",
+        f"<h1>{_html.escape(title)}</h1>",
+    ]
+    for name, df in frames.items():
+        parts.append(f"<h2>{_html.escape(name)}</h2>")
+        parts.append(df.to_html(index=False, border=0))
+    parts.append("</body></html>")
+    return "\n".join(parts)

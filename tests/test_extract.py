@@ -12,18 +12,34 @@ from ai_data_matching_spark.extract import (
     normalized_domain_col,
 )
 
+# Expected values follow the REFERENCE normalizer exactly
+# (matching_engine.py:21-58): its suffix list does NOT include group/
+# holdings/solutions/co-without-dot; multi-suffix chains strip
+# cumulatively in list order; separators are one ' ' or '.'.
 GOLDEN_NORMALIZE = [
     ("  Acme Corp  ", "acme"),
     ("Acme Inc.", "acme"),
     ("Microsoft Corporation", "microsoft"),
-    ("Adecco Group", "adecco"),
-    ("Cognizant Technology Solutions", "cognizant technology"),
+    ("Adecco Group", "adecco group"),          # 'group' not a ref suffix
+    ("Cognizant Technology Solutions", "cognizant technology solutions"),
     ("IBM (United Kingdom)", "ibm"),
     ("Siemens - northern europe", "siemens"),
     ("Oracle US", "oracle"),
     ("SAP Global", "sap"),
     ("Tata Worldwide", "tata"),
     ("EY   Ernst &  Young", "ey ernst & young"),
+    # every reference suffix-branch flavor:
+    ("Acme co.", "acme"),                      # 'co.' with dot strips
+    ("Acme Co", "acme co"),                    # bare 'co' is NOT in the list
+    ("Widget Holdings NV", "widget holdings"), # 'nv' new; 'holdings' kept
+    ("Fabrik BV", "fabrik"),
+    ("Pasta SRL", "pasta"),
+    ("Moda SpA", "moda"),
+    ("Stuff Incorporated", "stuff"),
+    ("Acme co. ltd.", "acme"),                 # cumulative: ltd. then co.
+    ("Acme.llc", "acme"),                      # '.' separator branch
+    ("inc", "inc"),                            # no separator → no strip
+    ("Acme Ltd (US)", "acme"),                 # location pattern + suffix
     (None, ""),
     ("", ""),
 ]
@@ -75,3 +91,29 @@ def test_normalized_domain(spark):
     df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
     got = [r["d"] for r in df.select(normalized_domain_col(F.col("url")).alias("d")).collect()]
     assert got == [e for _, e in rows]
+
+
+def test_variants_reference_semantics(spark):
+    """P2 parity (matching_engine.py:60-79): {original, normalized,
+    stopword-token-stripped} with raw-length guard and token-filter (not
+    regex) stopword removal."""
+    from ai_data_matching_spark.extract import normalize_name_col, variants_col
+
+    rows = [
+        ("Acme Inc (US)",),     # original + normalized; filtered == words
+        ("The Acme Group",),    # norm == lower(raw) → no v1; stopwords → v2
+        ("at&t services",),     # 'at&t' token survives, 'services' drops
+        ("ab",),                # raw len < 3 → []
+        (None,),                # null → []
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    out = df.select(
+        "raw",
+        variants_col(F.col("raw"), normalize_name_col(F.col("raw"))).alias("v"),
+    ).collect()
+    got = {r["raw"]: [(s["priority"], s["variant"]) for s in r["v"]] for r in out}
+    assert got["Acme Inc (US)"] == [(0, "Acme Inc (US)"), (1, "acme")]
+    assert got["The Acme Group"] == [(0, "The Acme Group"), (2, "acme")]
+    assert got["at&t services"] == [(0, "at&t services"), (2, "at&t")]
+    assert got["ab"] == []
+    assert got[None] == []
