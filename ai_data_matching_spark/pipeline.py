@@ -134,6 +134,13 @@ def run_pipeline(
     labels = stage("labels", _labels)
 
     assigned = cluster_assignments(extracted, labels)
+    if io is None:
+        # consumed eagerly twice by match_statistics (count + distinct
+        # count) and again by the caller — persist once, release via
+        # cache.release_persisted()
+        from .cache import persist_tracked
+
+        assigned = persist_tracked(assigned)
     clusters = consolidate_clusters(assigned, edges)
     stats = match_statistics(assigned, edges)
     if io is not None:

@@ -46,28 +46,38 @@ def _build(cpus: int):
     return build_session(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        shuffle_partitions=max(2 * cpus, 8),  # matches scaling_bench.py
         extra_conf=extra,
     )
 
 
-def _pipeline_run(spark, cpus: int, n_pages: int) -> tuple[int, float]:
-    """One timed pipeline run; input materialized outside the window."""
+def _pipeline_run(spark, cpus: int, n_pages: int, reps: int = 2) -> tuple[int, float]:
+    """Best-of-``reps`` timed pipeline runs. The input is materialized and
+    the Python worker pool + JIT warmed (2k-page un-timed run) outside the
+    window; Spark's cache is cleared between reps so plan-matching never
+    lets a rep read the previous rep's persisted stages."""
     from ai_data_matching_spark.cache import release_persisted
     from ai_data_matching_spark.pipeline import run_pipeline
     from ai_data_matching_spark.synth import generate_pages
 
-    pages = generate_pages(spark, n_pages, seed=42).drop("entity_id")
-    pages = pages.repartition(cpus * 2).persist()
-    n = pages.count()
-    t0 = time.perf_counter()
-    res = run_pipeline(spark, pages)
-    _materialize(res.assigned)
-    dt = time.perf_counter() - t0
-    pages.unpersist()
+    raw = generate_pages(spark, n_pages, seed=42).drop("entity_id")
+    _materialize(run_pipeline(spark, raw.limit(2000)).assigned)  # warm-up
     release_persisted()
-    spark.catalog.clearCache()  # plan-matching must not feed the next rep
-    return n, dt
+    spark.catalog.clearCache()
+    best = None
+    n = 0
+    for _ in range(reps):
+        pages = raw.repartition(cpus * 2).persist()
+        n = pages.count()
+        t0 = time.perf_counter()
+        res = run_pipeline(spark, pages)
+        _materialize(res.assigned)
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+        pages.unpersist()
+        release_persisted()
+        spark.catalog.clearCache()
+    return n, best
 
 
 def main() -> None:
