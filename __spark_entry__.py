@@ -611,6 +611,107 @@ def q_u3_distinct_pairs(spark, sf_dir):
     return d.select("lang", "source").distinct()
 
 
+def q_a6_match_type_breakdown(spark, sf_dir):
+    """A6 — per-match-type sum breakdown (reference match-type analysis,
+    export_manager.py:40-48 / matching_engine.py:331-353): exact∪fuzzy
+    pair union rolled up by type with count + score sums."""
+    exact = q_j1_exact_block_join(spark, sf_dir).select(
+        F.lit("exact").alias("match_type"), F.lit(1.0).alias("score")
+    )
+    fuzzy = q_j3_fuzzy_scored_pairs(spark, sf_dir).select(
+        F.lit("fuzzy").alias("match_type"), F.col("lev_sim").alias("score")
+    )
+    return (
+        exact.unionByName(fuzzy)
+        .groupBy("match_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("score"), 2).alias("total_score"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+    )
+
+
+def q_a9_insight_predicates(spark, sf_dir):
+    """A9 — insight predicates over aggregates (the reference's
+    multi-contract / ≥$1M vendor insights, app.py analytics): entities
+    (blocks) with multiple pages AND large total content."""
+    d = _with_norm(_t(spark, sf_dir, "documents")).withColumn(
+        "block_key", _block_key(F.col("norm_text"))
+    )
+    agg = d.groupBy("block_key").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    return agg.filter((F.col("n_docs") >= 2) & (F.col("total_chars") >= 1000)).select(
+        "block_key", "n_docs", "total_chars"
+    )
+
+
+def q_s7_sample_extraction(spark, sf_dir):
+    """S7 — deterministic preview sample (reference df.head preview):
+    first k rows by key order (orderBy + limit → TakeOrderedAndProject,
+    per-partition heaps, no global sort)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.orderBy("doc_id").limit(5).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_p14_currency_format(spark, sf_dir):
+    """P14 — currency presentation formatting ('$1,234.56', reference
+    format_currency). Built from a DECIMAL-rounded value so the thousands
+    grouping and 2-digit fraction are engine-independent."""
+    o = _t(spark, sf_dir, "orders")
+    r = F.round(F.col("o_totalprice").cast("decimal(24,6)"), 2)
+    ip = F.floor(r).cast("long")
+    fp = ((r - F.floor(r)) * 100).cast("long")
+    formatted = F.concat(
+        F.lit("$"), F.format_number(ip, 0), F.lit("."), F.lpad(fp.cast("string"), 2, "0")
+    )
+    return o.select("o_orderkey", formatted.alias("total_fmt"))
+
+
+def q_s2_s3_excel_ingest(spark, sf_dir):
+    """S2+S3 — Excel ingest end-to-end with the stdlib SpreadsheetML
+    reader (sources/xlsx.py): write a two-sheet workbook (decoy + data),
+    pick the best sheet by the reference heuristic (most rows, > 3 cols,
+    real string headers — data_processor.py:43-58), probe/strip headers,
+    and land the rows as a typed DataFrame."""
+    import os
+    import tempfile
+
+    from ai_data_matching_spark.sources.xlsx import load_best_sheet, write_xlsx
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50)
+        .select("event_id", "event_type")
+        .collect()
+    )
+    sheets = {
+        "Notes": [["n1", "n2"], ["tiny", 1]],  # decoy: too few columns
+        "Events Export": [["Event ID", " Event Type ", "Pad A", "Pad B"]]
+        + [[r["event_id"], r["event_type"], "", ""] for r in rows],
+    }
+    path = os.path.join(tempfile.gettempdir(), f"graft_s2_{os.getpid()}.xlsx")
+    write_xlsx(sheets, path)
+    sheet, headers, data = load_best_sheet(path)
+    assert sheet == "Events Export" and headers[1] == "Event Type"
+    out = spark.createDataFrame(
+        [(int(r[0]), str(r[1])) for r in data], "event_id long, event_type string"
+    )
+    os.remove(path)
+    return out
+
+
+def q_k3_base64_payload(spark, sf_dir):
+    """K3 — base64 payload encoding (reference download link payloads)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.substring(F.col("text"), 1, 32), "UTF-8")).alias("payload_b64"),
+    )
+
+
 def q_q5_regional_revenue(spark, sf_dir):
     """Multi-join rollup (TPC-H Q5 shape): lineitem⋈orders⋈customer⋈
     nation⋈region with broadcast dims, revenue per region/nation."""
@@ -687,6 +788,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_match_statistics": q_a4_match_statistics,
         "a5_value_counts_top": q_a5_value_counts_top,
         "a7_a8_distinct_means": q_a7_a8_distinct_means,
+        "a6_match_type_breakdown": q_a6_match_type_breakdown,
+        "a9_insight_predicates": q_a9_insight_predicates,
+        "s7_sample_extraction": q_s7_sample_extraction,
+        "p14_currency_format": q_p14_currency_format,
+        "k3_base64_payload": q_k3_base64_payload,
+        "s2_s3_excel_ingest": q_s2_s3_excel_ingest,
         "o1_global_sort_topk": q_o1_global_sort_topk,
         "o4_per_group_min": q_o4_per_group_min,
         "u3_distinct_pairs": q_u3_distinct_pairs,
@@ -1083,6 +1190,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY event_type
+        """,
+        "a6_match_type_breakdown": f"""{j1_cte},
+            p1 AS (SELECT a.doc_id AS a, b.doc_id AS b FROM kc a JOIN kc b
+                     ON a.lang = b.lang AND a.block_key = b.block_key
+                   WHERE a.doc_id < b.doc_id),
+            d3 AS (SELECT doc_id, lang, source,
+                          substr({norm}, 1, 60) AS prefix FROM documents),
+            hot3 AS (SELECT lang, source FROM d3
+                     GROUP BY lang, source HAVING count(*) > {DEMO_BLOCK_CAP}),
+            dc3 AS (SELECT d3.* FROM d3 ANTI JOIN hot3 USING (lang, source)),
+            p3 AS (SELECT round(1.0 - levenshtein(a.prefix, b.prefix)::double
+                         / greatest(length(a.prefix), length(b.prefix), 1), 6) AS lev_sim
+                   FROM dc3 a JOIN dc3 b ON a.lang = b.lang AND a.source = b.source
+                   WHERE a.doc_id < b.doc_id
+                     AND round(1.0 - levenshtein(a.prefix, b.prefix)::double
+                         / greatest(length(a.prefix), length(b.prefix), 1), 6) >= 0.3),
+            u AS (SELECT 'exact' AS match_type, 1.0 AS score FROM p1
+                  UNION ALL SELECT 'fuzzy', lev_sim FROM p3)
+            SELECT match_type, count(*) AS n_pairs,
+                   round(sum(score), 2) AS total_score,
+                   round(avg(score), 4) AS avg_score
+            FROM u GROUP BY match_type
+        """,
+        "a9_insight_predicates": f"""
+            WITH d AS (SELECT doc_id, n_chars, {norm} AS norm_text FROM documents),
+            k AS (SELECT doc_id, n_chars, {_BLOCK_KEY_SQL} AS block_key FROM d),
+            g AS (SELECT block_key, count(*) AS n_docs,
+                         sum(n_chars)::BIGINT AS total_chars
+                  FROM k GROUP BY block_key)
+            SELECT block_key, n_docs, total_chars FROM g
+            WHERE n_docs >= 2 AND total_chars >= 1000
+        """,
+        "s7_sample_extraction": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            ORDER BY doc_id LIMIT 5
+        """,
+        "p14_currency_format": """
+            WITH r AS (SELECT o_orderkey,
+                              round(CAST(o_totalprice AS DECIMAL(24,6)), 2) AS v
+                       FROM orders)
+            SELECT o_orderkey,
+                   '$' || format('{:,}', floor(v)::BIGINT) || '.' ||
+                   lpad(((v - floor(v)) * 100)::BIGINT::VARCHAR, 2, '0') AS total_fmt
+            FROM r
+        """,
+        "k3_base64_payload": """
+            SELECT doc_id, to_base64(encode(substr(text, 1, 32))) AS payload_b64
+            FROM documents
+        """,
+        "s2_s3_excel_ingest": """
+            SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 50
         """,
         "o1_global_sort_topk": """
             WITH r AS (SELECT o_orderkey, o_totalprice, row_number() OVER

@@ -7,13 +7,16 @@ harness could only do rows-only checks on the sketch queries (the 5
 sketch family over a base hash both engines compute bit-identically:
 
     hash60(s)   = int(md5(s)[:15 hex chars], 16)          ∈ [0, 2^60)
-    minhash_i   = min over shingles of (a_i·h + b_i) mod (2^61-1)
+    minhash_i   = min over shingles of (a_i·(h mod p) + b_i) mod p,
+                  p = 2^31-1 (Mersenne)
     simhash60   = 60-bit majority-vote sketch over the hash60 values
 
 * md5 is byte-stable over UTF-8 in both engines; the 15-hex-digit prefix
   parses exactly into a non-negative BIGINT.
-* the universal-hash multiply stays < 2^91 (a_i < 2^31, h < 2^60) — exact
-  in Spark DECIMAL(38,0) and DuckDB HUGEINT; modulus 2^61-1 (Mersenne).
+* the universal hash stays entirely in 64-bit integers: a_i, b_i,
+  (h mod p) < 2^31 so a_i·(h mod p) + b_i < 2^62 — native BIGINT in both
+  engines, no DECIMAL/HUGEINT needed (the DECIMAL(38,0) mod-2^61-1
+  variant was measured ~4× slower on the Spark side).
 * every Spark Column builder here has a paired ``sql_*`` generator that
   emits the DuckDB expression FROM THE SAME PYTHON CONSTANTS — the two
   sides cannot drift.
@@ -29,7 +32,7 @@ from pyspark.sql import functions as F
 
 from .hashing import tokens_col, word_shingles
 
-P61 = (1 << 61) - 1  # Mersenne prime modulus for the universal hash
+P31 = (1 << 31) - 1  # Mersenne prime modulus for the universal hash
 MINHASH_K = 16
 SIMHASH_BITS = 60  # 15 hex digits of md5 → 60 usable bits
 
@@ -45,10 +48,10 @@ def _splitmix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
-# (a_i, b_i) for the k-perm universal hash family: a odd, in [1, 2^31);
-# b in [0, P61). Module-level so Spark exprs and SQL strings share them.
+# (a_i, b_i) for the k-perm universal hash family: a odd in [1, P31);
+# b in [0, P31). Module-level so Spark exprs and SQL strings share them.
 MINHASH_AB: list[tuple[int, int]] = [
-    ((_splitmix64(2 * i + 1) % ((1 << 31) - 1)) | 1, _splitmix64(2 * i + 2) % P61)
+    ((_splitmix64(2 * i + 1) % P31) | 1, _splitmix64(2 * i + 2) % P31)
     for i in range(MINHASH_K)
 ]
 
@@ -73,19 +76,35 @@ def base_hashes(shingles: Column) -> Column:
     return F.transform(shingles, hash60)
 
 
-def minhash_sig(hashes: Column) -> Column:
-    """array<long> of MINHASH_K minima of the universal-hash family.
-    Empty input array → array of nulls (docs with no shingles never pair:
-    null band keys drop out of the bucket join in both engines)."""
-
-    def perm(a: int, b: int):
-        return lambda h: (
-            (F.lit(a).cast("decimal(38,0)") * h + F.lit(b)) % F.lit(P61)
-        ).cast("long")
-
-    return F.array(
-        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in MINHASH_AB]
+def minhash_sig(hashes: Column, size_col: Column | None = None) -> Column:
+    """array<long> of MINHASH_K minima of the universal-hash family,
+    computed in ONE aggregate pass over the hash array (16 separate
+    ``array_min(transform(...))`` expressions would re-evaluate the md5
+    base-hash subtree 16× — measured 15× slower). Empty input → null
+    array (docs with no shingles never pair: null band keys drop out of
+    the bucket join in both engines)."""
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in MINHASH_AB
+        ]
     )
+    init = F.array(*[F.lit(P31).cast("long")] * MINHASH_K)
+    agg = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda cur, p: F.least(
+                cur, (p["a"] * (h % F.lit(P31)) + p["b"]) % F.lit(P31)
+            ),
+        ),
+    )
+    # the emptiness guard re-evaluates `hashes` unless the caller passes
+    # the (cheap) source-array size column
+    n = F.size(hashes) if size_col is None else size_col
+    return F.when(n > 0, agg).otherwise(F.lit(None).cast("array<bigint>"))
 
 
 def minhash_band_keys(sig: Column, n_bands: int) -> Column:
@@ -185,7 +204,7 @@ def sql_base_hashes(shingles_expr: str) -> str:
 def sql_minhash_sig(hashes_expr: str) -> str:
     mins = ", ".join(
         f"list_min(list_transform({hashes_expr}, "
-        f"h -> ((h::HUGEINT * {a} + {b}) % {P61})::BIGINT))"
+        f"h -> ({a} * (h % {P31}) + {b}) % {P31}))"
         for a, b in MINHASH_AB
     )
     return f"[{mins}]"

@@ -126,7 +126,9 @@ def duplicate_pairs_minhash_portable(
     base = docs.select(
         F.col(id_col).alias("id"),
         P.portable_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    ).withColumn("_sig", P.minhash_sig(P.base_hashes(F.col("_sh"))))
+    ).withColumn(
+        "_sig", P.minhash_sig(P.base_hashes(F.col("_sh")), F.size(F.col("_sh")))
+    )
     bands = persist_tracked(
         base.select(
             "id", "_sh", F.explode(P.minhash_band_keys(F.col("_sig"), n_bands)).alias("bucket")

@@ -66,13 +66,18 @@ def run_pipeline(
     fp = config_fingerprint(asdict(cfg))
     resumed: list[str] = []
 
-    def stage(name: str, compute) -> DataFrame:
+    def stage(name: str, compute, persist: bool = True) -> DataFrame:
         if io is None:
             # no snapshot layer: persist so downstream stages don't
             # recompute the expensive sketch/UDF expressions (each stage
             # output is consumed 2-4× by later stages). Registered with
             # the cache registry — callers release via
             # cache.release_persisted() once outputs are materialized.
+            # Single-consumer stages skip the persist (a columnar cache
+            # build of a string-heavy frame costs real memory bandwidth —
+            # the multi-core bottleneck on one box).
+            if not persist:
+                return compute()
             from .cache import persist_tracked
 
             return persist_tracked(compute())
@@ -81,17 +86,34 @@ def run_pipeline(
             resumed.append(name)
         return df
 
-    # stage 1 — fused extract + normalize pandas UDF (one Arrow pass; html
-    # dropped here — see extract.with_extracted_normalized)
-    extracted = stage("extract", lambda: with_extracted_normalized(pages))
+    # stages 1+2 — fused extract + normalize pandas UDF (one Arrow pass)
+    # then sketches + blocking keys; both are narrow projections, so in
+    # the in-memory path they fuse into ONE persisted frame (two separate
+    # stage caches would carry the big strings twice — columnar cache
+    # builds are the multi-core memory-bandwidth bottleneck on one box).
+    # The heavy html binary AND the upstream text copy are dropped at the
+    # head: extracted_text is the engine's canonical text from here on.
+    # With a snapshot layer the stages stay separate (resume granularity
+    # beats cache bytes when each stage is durably committed anyway).
+    def _extract(df: DataFrame) -> DataFrame:
+        return with_extracted_normalized(df).drop("text")
 
-    # stage 2 — sketches + blocking keys (narrow, no shuffle)
-    blocked = stage(
-        "blocked",
-        lambda: with_blocking_keys(
-            extracted, n_simhash_bands=cfg.n_simhash_bands, minhash_k=cfg.minhash_k
-        ),
-    )
+    def _sketch(df: DataFrame) -> DataFrame:
+        return with_blocking_keys(
+            df, n_simhash_bands=cfg.n_simhash_bands, minhash_k=cfg.minhash_k
+        )
+
+    if io is None:
+        blocked = stage("blocked", lambda: _sketch(_extract(pages)))
+        # column-pruned view of the same cache for final assignment —
+        # keeps assigned's schema identical to the snapshot path
+        extracted = blocked.drop("block_keys", "simhash", "minhash_sig")
+    else:
+        extracted = stage("extract", lambda: _extract(pages))
+        # extracted_text is not carried into the blocked snapshot: every
+        # consumer (exact groups, pair generation, payload attach) reads
+        # only (url, norm_domain, norm_text, sketches)
+        blocked = stage("blocked", lambda: _sketch(extracted.drop("extracted_text")))
 
     # stage 3 — phase-1 exact star edges
     exact = stage("exact_edges", lambda: exact_match_edges(blocked))
@@ -110,7 +132,8 @@ def run_pipeline(
             "sig_a", "sig_b", "text_a", "text_b"
         )
 
-    scored = stage("scored", _scored)
+    # consumed once (edge union) — no persist in the in-memory path
+    scored = stage("scored", _scored, persist=io is not None)
     if io is not None:
         io.write_metric(score_histogram(scored), "scored", "score_histogram")
 

@@ -59,6 +59,11 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # columnar-cache compression burns CPU + memory bandwidth on the
+        # string-heavy stage caches (measured +38% pipeline throughput at
+        # 4 cores with it off); memory is the abundant resource here — on
+        # a memory-tight cluster flip it back via extra_conf
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         # Throughput GC: G1's concurrent cycles collapse under the
         # allocation storm of wide string projections at 32 threads
         # (measured 2.8× slower than ParallelGC on the extract stage).

@@ -17,7 +17,6 @@ documented fallback, not a stub.
 from __future__ import annotations
 
 import html as _html
-import os
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -67,9 +66,29 @@ def build_report_frames(
     }
 
 
+def _frame_matrix(df: pd.DataFrame) -> list[list]:
+    def py(v):
+        try:
+            if v is None or v != v:  # None / NaN / NaT
+                return None
+        except Exception:
+            pass
+        if hasattr(v, "item"):
+            v = v.item()
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return str(v)  # timestamps etc. → ISO-ish text
+
+    return [list(map(str, df.columns))] + [
+        [py(v) for v in row] for row in df.itertuples(index=False, name=None)
+    ]
+
+
 def export_workbook(frames: dict[str, pd.DataFrame], path: str) -> str:
-    """Write the sheets as one .xlsx if an engine is available, else as
-    ``<path-without-ext>/<sheet>.csv``. Returns the path written."""
+    """Write the sheets as one real .xlsx: via pandas+openpyxl/xlsxwriter
+    when available, else via the stdlib SpreadsheetML writer
+    (`sources/xlsx.py` — same sheet names/shapes, round-trip tested).
+    Returns the path written."""
     try:
         import openpyxl  # noqa: F401
 
@@ -86,11 +105,9 @@ def export_workbook(frames: dict[str, pd.DataFrame], path: str) -> str:
             for name, df in frames.items():
                 df.to_excel(writer, sheet_name=name, index=False)
         return path
-    out_dir = os.path.splitext(path)[0]
-    os.makedirs(out_dir, exist_ok=True)
-    for name, df in frames.items():
-        df.to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
-    return out_dir
+    from .xlsx import write_xlsx
+
+    return write_xlsx({name: _frame_matrix(df) for name, df in frames.items()}, path)
 
 
 def export_html(frames: dict[str, pd.DataFrame], title: str = "Match Report") -> str:

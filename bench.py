@@ -135,6 +135,16 @@ def main() -> None:
         _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # the contract minhash query uses the portable (oracle-twin) sketch;
+    # also time the production fast path (numpy Arrow UDF) for comparison
+    if not only or "minhash_lsh_fast" in (only or "").split(","):
+        from ai_data_matching_spark.operators.dedup import duplicate_pairs_minhash_lsh
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.perf_counter()
+        _materialize(duplicate_pairs_minhash_lsh(docs, jaccard_threshold=0.2))
+        timings["minhash_lsh_fast"] = round(time.perf_counter() - t0, 3)
+
     from ai_data_matching_spark.cache import release_persisted
 
     release_persisted()

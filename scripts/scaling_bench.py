@@ -88,14 +88,26 @@ def main() -> None:
     reps = int(os.environ.get("SCALING_REPS", "2"))
 
     t0 = time.time()
-    r_low = run_at(low, n_pages, reps)
-    r_high = run_at(high, n_pages, reps)
+    # INTERLEAVE the two levels (L,H,L,H,…) instead of running each
+    # level's reps back to back: this shared host has multi-minute noise
+    # windows (±2-3× throughput swings), and sequential levels let one
+    # window hit a single level, corrupting the ratio in either
+    # direction. Interleaving exposes both levels to the same windows;
+    # best-of-reps per level then compares like with like.
+    runs_low: list[dict] = []
+    runs_high: list[dict] = []
+    for _ in range(reps):
+        runs_low.append(run_at(low, n_pages, 1))
+        runs_high.append(run_at(high, n_pages, 1))
+    r_low = min(runs_low, key=lambda r: r["seconds"])
+    r_high = min(runs_high, key=lambda r: r["seconds"])
     ratio = r_high["docs_per_sec"] / r_low["docs_per_sec"]
     eff = ratio / (high / low)
     report = {
         "n_pages": n_pages,
         "low": r_low,
         "high": r_high,
+        "all_runs": {"low": runs_low, "high": runs_high},
         "speedup": round(ratio, 3),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
@@ -115,7 +127,9 @@ clustering pipeline, `ai_data_matching_spark.pipeline.run_pipeline`) on
 the SAME deterministic input (synth corpus, seed=42, {n_pages:,} pages)
 at two local parallelism levels, each in its own JVM; input
 materialized and Python workers warmed outside the timed window; best
-of {reps} timed runs.
+of {reps} INTERLEAVED runs per level (L,H,L,H — the shared host has
+multi-minute ±2-3× noise windows; interleaving exposes both levels to
+the same windows instead of letting one window corrupt one level).
 
 | parallelism | docs | seconds | docs/sec |
 |---|---|---|---|
@@ -125,7 +139,21 @@ of {reps} timed runs.
 **speedup {low}→{high} cores: {ratio:.2f}×; scaling efficiency =
 {ratio:.2f} / {high // low} = {eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
 
+All interleaved runs (seconds): low={[r['seconds'] for r in runs_low]}, high={[r['seconds'] for r in runs_high]}
+
 Reproduce: `python scripts/scaling_bench.py {n_pages} {low} {high}`
+
+## Host-noise caveat (round-2 re-measurement)
+
+This sandbox is a shared-host VM with multi-minute noise windows:
+round 1's 16-core 250k-page curve point (12,416 docs/s) re-measured at
+4,564 docs/s in round 2 with the identical script and code path, and
+back-to-back identical 4-core reps within one session have varied 2x.
+Single-core runs are stable (2,440-2,600 docs/s across both rounds) —
+the noise hits shared memory bandwidth, i.e. exactly the multi-core
+runs. The interleaved methodology above is the mitigation; absolute
+docs/s numbers should be read with that error bar, and the efficiency
+ratio is the robust statistic.
 """)
 
 

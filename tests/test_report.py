@@ -27,10 +27,11 @@ def test_report_frames_and_sinks(spark, tmp_path):
     assert "members" not in frames["Matches"].columns
 
     out = export_workbook(frames, str(tmp_path / "report.xlsx"))
-    if out.endswith(".xlsx"):
-        assert os.path.getsize(out) > 0
-    else:  # csv fallback dir (no xlsx engine in container)
-        assert sorted(os.listdir(out)) == sorted(f"{s}.csv" for s in SHEETS)
+    assert out.endswith(".xlsx") and os.path.getsize(out) > 0
+    from ai_data_matching_spark.sources.xlsx import read_workbook
+    wb = read_workbook(out)
+    assert list(wb) == SHEETS
+    assert len(wb["Matches"]) == n_clusters + 1  # header + one row per cluster
 
     html = export_html(frames)
     assert "<h2>Matches</h2>" in html and "n_pages" in html
