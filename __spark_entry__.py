@@ -143,6 +143,27 @@ def q_j1_exact_block_join(spark, sf_dir):
     )
 
 
+def q_j1b_variant_probe_join(spark, sf_dir):
+    """J1 (reference shape) — variant-priority probe join: first variant
+    (priority order) with a bucket wins, first build row in the bucket is
+    the match (matching_engine.py:88-130, §2.7 traps fixed with a total
+    order). Probe = even doc_ids, build = odd doc_ids."""
+    from ai_data_matching_spark.operators.variant_join import exact_match_via_variants
+
+    name = F.array_join(
+        F.slice(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""), 1, 3), " "
+    )
+    d = _t(spark, sf_dir, "documents").withColumn("name", name)
+    return exact_match_via_variants(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        probe_id="doc_id",
+        build_id="doc_id",
+        probe_name="name",
+        build_name="name",
+    )
+
+
 def q_j2_unmatched_antijoin(spark, sf_dir):
     pairs = q_j1_exact_block_join(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
@@ -751,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_normalize_text": q_p1_normalize,
         "p2_blocking_variants": q_p2_variants,
         "j1_exact_block_join": q_j1_exact_block_join,
+        "j1b_variant_probe_join": q_j1b_variant_probe_join,
         "j2_unmatched_antijoin": q_j2_unmatched_antijoin,
         "j3_fuzzy_scored_pairs": q_j3_fuzzy_scored_pairs,
         "o3_best_match_per_doc": q_o3_best_match_per_doc,
@@ -871,6 +893,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.block_key
             FROM kc a JOIN kc b ON a.lang = b.lang AND a.block_key = b.block_key
             WHERE a.doc_id < b.doc_id
+        """,
+        "j1b_variant_probe_join": f"""
+            WITH nm AS (SELECT doc_id,
+                   array_to_string(list_slice(list_filter(
+                     string_split_regex(text, '\\s+'), x -> x <> ''), 1, 3), ' ')
+                     AS name FROM documents),
+            n AS (SELECT doc_id, name, {_norm_sql('name')} AS norm_text FROM nm),
+            f AS (SELECT doc_id, name, norm_text,
+                         list_filter(string_split(norm_text, ' '),
+                           w -> w <> '' AND w NOT IN ({_STOPS_SQL})) AS fw
+                  FROM n WHERE name IS NOT NULL AND length(name) >= 3),
+            v AS (
+              SELECT doc_id, 0 AS priority, name AS variant FROM f
+              UNION ALL
+              SELECT doc_id, 1, norm_text FROM f
+               WHERE norm_text <> '' AND norm_text <> lower(name)
+              UNION ALL
+              SELECT doc_id, 2, array_to_string(fw, ' ') FROM f
+               WHERE len(fw) > 0 AND array_to_string(fw, ' ') <> norm_text
+            ),
+            pv AS (SELECT doc_id AS probe_id, priority AS probe_priority, variant
+                   FROM v WHERE doc_id % 2 = 0),
+            bv AS (SELECT doc_id AS build_id, variant
+                   FROM v WHERE doc_id % 2 = 1 AND length(variant) >= 3),
+            j AS (SELECT pv.probe_id, pv.probe_priority, pv.variant, bv.build_id
+                  FROM pv JOIN bv USING (variant)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                    ORDER BY probe_priority, build_id) AS rn FROM j)
+            SELECT probe_id, build_id, variant AS match_variant, probe_priority,
+                   1.0::DOUBLE AS score, 'exact' AS match_type
+            FROM r WHERE rn = 1
         """,
         "j2_unmatched_antijoin": f"""{j1_cte}
             SELECT d.doc_id, d.lang, d.source FROM documents d

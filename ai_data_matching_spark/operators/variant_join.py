@@ -1,0 +1,80 @@
+"""J1 — the reference's phase-1 exact matcher as a DataFrame join.
+
+/root/reference/src/matching_engine.py:88-130: build a dict
+``variant → [client rows]`` over all client variants (len ≥ 3), then for
+each vendor probe its variants IN ORDER and take the FIRST variant with a
+bucket, emitting ONE match = the FIRST client in that bucket, score 1.0.
+
+Re-expressed relationally with the §2.7 nondeterminism traps fixed:
+
+* probe order — the reference's ``list(set(variants))`` is
+  hash-seed-dependent; here every variant carries an explicit priority
+  (0 original > 1 normalized > 2 stopword-stripped) and the winner is
+  the minimum (priority, build_order) pair — a total order.
+* "first client in the bucket" — insertion order in the reference;
+  here an explicit ``build_order`` column (caller-supplied stable id).
+
+Shape: explode variants on both sides → equi-join on the variant string
+→ per-probe-row ``row_number() == 1``. At scale this is exactly the
+engine's blocking equi-join; hot variants should be capped upstream the
+same way (`blocking.hot_keys`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..extract import MIN_MATCH_LENGTH, normalize_name_col, variants_col
+
+
+def _exploded_variants(df: DataFrame, id_col: str, name_col: str, prefix: str) -> DataFrame:
+    norm = normalize_name_col(F.col(name_col))
+    v = df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.explode(variants_col(F.col(name_col), norm)).alias("_v"),
+    )
+    return v.select(
+        f"{prefix}_id",
+        F.col("_v.priority").alias(f"{prefix}_priority"),
+        F.col("_v.variant").alias("variant"),
+    )
+
+
+def exact_match_via_variants(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_id: str,
+    build_id: str,
+    probe_name: str,
+    build_name: str,
+    build_order: Column | None = None,
+) -> DataFrame:
+    """One row per matched probe record: (probe_id, build_id, match_variant,
+    probe_priority, score=1.0, match_type='exact').
+
+    ``build_order`` is the "client row order" tiebreaker (defaults to the
+    build id itself — pass an explicit row-number column to reproduce a
+    specific input ordering)."""
+    pv = _exploded_variants(probe, probe_id, probe_name, "probe")
+    bv = _exploded_variants(build, build_id, build_name, "build")
+    # the reference's lookup only indexes variants with len >= 3
+    bv = bv.filter(F.length("variant") >= MIN_MATCH_LENGTH).withColumn(
+        "_border", build_order if build_order is not None else F.col("build_id")
+    )
+    j = pv.join(bv, "variant")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("probe_priority"), F.asc("_border"), F.asc("build_id")
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "probe_id",
+            "build_id",
+            F.col("variant").alias("match_variant"),
+            "probe_priority",
+            F.lit(1.0).alias("score"),
+            F.lit("exact").alias("match_type"),
+        )
+    )

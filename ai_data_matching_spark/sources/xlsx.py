@@ -129,6 +129,29 @@ def headers_and_rows(matrix: list[list[Cell]]) -> tuple[list[str], list[list[Cel
     return headers, matrix[1:]
 
 
+PROBE_SKIPROWS = (0, 5, 10, 15, 20, 25)
+
+
+def probe_header_row(
+    matrix: list[list[Cell]],
+    keywords: list[str],
+    skiprows: tuple[int, ...] = PROBE_SKIPROWS,
+) -> tuple[int, list[str], list[list[Cell]]]:
+    """S3 — header-row probing (reference app.py:365-386): try each
+    ``skiprows`` offset in order and accept the first whose header row
+    contains any keyword (case-insensitive substring). Returns
+    (skipped, headers, data_rows); falls back to offset 0."""
+    lowered = [k.lower() for k in keywords]
+    for skip in skiprows:
+        if skip >= len(matrix):
+            continue
+        headers = [str(h).strip() if h is not None else "" for h in matrix[skip]]
+        if any(any(k in h.lower() for k in lowered) for h in headers):
+            return skip, headers, matrix[skip + 1 :]
+    headers, rows = headers_and_rows(matrix)
+    return 0, headers, rows
+
+
 def load_best_sheet(path: str) -> tuple[str, list[str], list[list[Cell]]]:
     """Reference best-sheet heuristic (data_processor.py:43-58): most data
     rows among sheets with > 3 columns and ≥ 1 string header longer than 2

@@ -57,3 +57,20 @@ def test_fallback_first_sheet(tmp_path):
 
 def test_headers_and_rows_empty():
     assert headers_and_rows([]) == ([], [])
+
+
+def test_header_probe_skiprows(tmp_path):
+    """S3 parity (app.py:365-386): header found at a skiprows offset."""
+    from ai_data_matching_spark.sources.xlsx import probe_header_row, write_xlsx, read_workbook
+
+    preamble = [[f"junk {i}", None, None, None] for i in range(5)]
+    body = [["Supplier Name", "Total Value", "Currency", "End Date"],
+            ["Acme", 1, "USD", "2024-01-01"]]
+    p = str(tmp_path / "probe.xlsx")
+    write_xlsx({"S": preamble + body}, p)
+    matrix = read_workbook(p)["S"]
+    skip, headers, rows = probe_header_row(matrix, ["supplier"])
+    assert skip == 5 and headers[0] == "Supplier Name" and rows == [["Acme", 1, "USD", "2024-01-01"]]
+    # no keyword anywhere → fallback to row 0
+    skip0, headers0, _ = probe_header_row(matrix, ["zzz"])
+    assert skip0 == 0 and headers0[0] == "junk 0"
