@@ -117,6 +117,13 @@ def main() -> None:
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # every attempt is appended to the run log (the honest record);
+    # BASELINE.md is hand-maintained and only regenerated on request —
+    # set SCALING_WRITE_MD=1 to overwrite it with this run's template.
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps(report) + "\n")
+    if os.environ.get("SCALING_WRITE_MD") != "1":
+        return
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — cluster-size scaling evidence
 
