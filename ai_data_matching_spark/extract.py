@@ -92,18 +92,40 @@ def normalize_name_col(col: Column) -> Column:
     return c
 
 
+# compiled location patterns + O(1) pre-guards: a pattern whose guard
+# fails CANNOT match (guards are necessary conditions), so the regex scan
+# is skipped — this is the pipeline's hottest Python after sketching and
+# most patterns are end-anchored literals that almost never match webtext
+_LOCATION_COMPILED: list[tuple[re.Pattern[str], object]] = [
+    (re.compile(p), g)
+    for p, g in zip(
+        _LOCATION_PATTERNS,
+        [
+            lambda c: "(" in c,                      # \s+\([^)]*\)
+            lambda c: "-" in c,                      # \s+-\s+[a-z\s]+$
+            *[
+                (lambda tail: lambda c: c.endswith(tail))(p[3:-1].replace("\\s+", " "))
+                for p in _LOCATION_PATTERNS[2:]
+            ],
+        ],
+    )
+]
+_MULTI_WS_RE = re.compile(r"\s+")
+
+
 def normalize_name_py(value: str | None) -> str:
     """Pure-Python twin of :func:`normalize_name_col` (unit-test oracle);
     mirrors the reference's endswith loop verbatim."""
     if value is None or not isinstance(value, str):
         return ""
     c = value.strip().lower()
-    for pat in _LOCATION_PATTERNS:
-        c = re.sub(pat, "", c)
+    for pat, guard in _LOCATION_COMPILED:
+        if guard(c):
+            c = pat.sub("", c)
     for suffix in _BUSINESS_SUFFIXES:
         if c.endswith(f" {suffix}") or c.endswith(f".{suffix}"):
             c = c[: -len(suffix) - 1].strip()
-    return re.sub(r"\s+", " ", c).strip()
+    return _MULTI_WS_RE.sub(" ", c).strip()
 
 
 def variants_col(raw: Column, normalized: Column) -> Column:
@@ -187,8 +209,9 @@ def extract_text_py(html: bytes | None) -> str:
     raw = _COMMENT_RE.sub(b" ", raw)
     raw = _TAG_RE.sub(b" ", raw)
     text = raw.decode("utf-8", errors="replace")
-    for ent, ch in _ENTITIES.items():
-        text = text.replace(ent, ch)
+    if "&" in text:  # every entity starts with '&' — skip 7 scans otherwise
+        for ent, ch in _ENTITIES.items():
+            text = text.replace(ent, ch)
     return _WS_RE.sub(" ", text).strip()
 
 
