@@ -6,13 +6,13 @@ representative operator queries over the driver tables at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``.
 
-The HEADLINE pipeline run executes at ``BENCH_PIPELINE_CPUS`` (default
-16): this host's measured optimum (BENCH/BASELINE.md throughput curve —
-local[32] oversubscribes 32 hardware cores with 32 JVM task threads + 32
-Python UDF workers and is *slower*; a real cluster would never run that
-shape). The same pipeline is ALSO measured at ``SPARK_GRAFT_CPUS`` and
-reported as ``er_pipeline_at_{cpus}`` so both configurations are visible
-(VERDICT r01 finding 5: never report only the pathological config).
+The HEADLINE pipeline run is measured at BOTH ``BENCH_PIPELINE_CPUS``
+(default 16) and ``SPARK_GRAFT_CPUS`` (default 32) and the better level
+becomes ``er_pipeline`` — with per-level numbers always reported
+(VERDICT r01 finding 5: never report only the pathological config). The
+optimum moves with the Python-UDF share of the work: round 2's
+vectorized kernels shrank UDF time enough that local[32] overtook
+local[16] on this 32-hw-thread host.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR    table dir (default /root/testdata/sf0.1)
@@ -96,24 +96,28 @@ def main() -> None:
     extras: dict[str, float | int] = {}
     want_pipeline = not only or "er_pipeline" in only.split(",")
 
-    # -- headline: pipeline at the measured-optimal parallelism ----------
+    # -- headline: pipeline at both parallelism levels, best wins --------
+    best_level: tuple[int, int, float] | None = None  # (cpus, docs, secs)
     if want_pipeline:
-        spark = _build(pipe_cpus)
-        n, dt = _pipeline_run(spark, pipe_cpus, n_pages)
+        for level in dict.fromkeys([pipe_cpus, cpus]):
+            spark = _build(level)
+            n, dt = _pipeline_run(spark, level, n_pages)
+            extras[f"er_pipeline_at_{level}"] = round(dt, 3)
+            extras[f"er_pipeline_docs_per_sec_at_{level}"] = round(n / dt, 1)
+            if best_level is None or n / dt > best_level[1] / best_level[2]:
+                best_level = (level, n, dt)
+            if level != cpus:
+                spark.stop()
+        level, n, dt = best_level
         timings["er_pipeline"] = round(dt, 3)
         extras["er_pipeline_docs_per_sec"] = round(n / dt, 1)
         extras["er_pipeline_docs"] = n
-        extras["er_pipeline_cpus"] = pipe_cpus
-        if cpus != pipe_cpus:
-            spark.stop()
+        extras["er_pipeline_cpus"] = level
 
-    # -- operator queries (and the secondary pipeline number) at cpus ----
-    if cpus != pipe_cpus or not want_pipeline:
+    # -- operator queries at cpus (the loop above ends with a live
+    #    session at `cpus`; only the no-pipeline path needs to build one)
+    if not want_pipeline:
         spark = _build(cpus)
-    if want_pipeline and cpus != pipe_cpus:
-        n, dt = _pipeline_run(spark, cpus, n_pages)
-        extras[f"er_pipeline_at_{cpus}"] = round(dt, 3)
-        extras[f"er_pipeline_docs_per_sec_at_{cpus}"] = round(n / dt, 1)
 
     qs = entry_mod.queries()
     for name in [
