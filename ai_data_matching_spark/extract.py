@@ -253,6 +253,47 @@ def with_extracted(df, url_col: str = "url", html_col: str = "html"):
     )
 
 
+_EXTRACT_SKETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("norm_text", T.StringType()),
+        T.StructField("simhash", T.LongType()),
+        T.StructField("minhash_sig", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_extract_sketch_udf(shingle_k: int = 3):
+    """Fully-fused html → (extracted_text, norm_text, simhash, minhash_sig)
+    in ONE Arrow round trip.
+
+    The staged form (extract_norm_udf, then sketches.sketch_udf) moves
+    ``norm_text`` across the JVM↔Python boundary twice — once out of the
+    extract UDF, once back into the sketch UDF. On a memory-bandwidth-
+    bound host (and at 100 TB, where Arrow transfer is real network/memcpy
+    traffic) that second round trip is pure waste: the pipeline's hot path
+    uses this fused kernel instead. Values are IDENTICAL to the staged
+    form (same extract/normalize/sketch kernels; parity-tested).
+    """
+    from .functions.sketches import sketch_batch
+
+    @F.pandas_udf(_EXTRACT_SKETCH_SCHEMA)
+    def _fused(html: pd.Series) -> pd.DataFrame:
+        ex = html.map(extract_text_py)
+        nm = ex.map(normalize_name_py)
+        sims, sigs = sketch_batch(nm.tolist(), shingle_k)
+        return pd.DataFrame(
+            {
+                "extracted_text": ex,
+                "norm_text": nm,
+                "simhash": pd.Series(sims, dtype="int64"),
+                "minhash_sig": list(sigs),
+            }
+        )
+
+    return _fused
+
+
 def with_extracted_normalized(df, url_col: str = "url", html_col: str = "html"):
     """Pipeline stage-1 projection: fused extract+normalize UDF plus the
     native domain key; drops the heavy ``html`` binary (never needed

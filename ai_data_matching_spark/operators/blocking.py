@@ -91,6 +91,41 @@ def with_blocking_keys(
     return df.withColumn("block_keys", block_keys)
 
 
+def with_extract_sketch_keys(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_cols: tuple[str, ...] = ("text",),
+    n_simhash_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Fused stage 1+2: html → extract → normalize → sketch → blocking keys
+    with ONE Arrow round trip (extract.make_extract_sketch_udf) — the
+    staged ``with_blocking_keys(with_extracted_normalized(df))`` form moves
+    norm_text out of and back into Python. Emits exactly the staged form's
+    columns (order included), so both paths are interchangeable."""
+    from ..extract import make_extract_sketch_udf
+
+    fused = make_extract_sketch_udf(shingle_k)
+    out = pages.withColumn("_f", fused(F.col(html_col))).withColumn(
+        "norm_domain", normalized_domain_col(F.col(url_col))
+    )
+    keep = [c for c in pages.columns if c != html_col and c not in drop_cols]
+    out = out.select(
+        *keep,
+        "norm_domain",
+        F.col("_f.extracted_text").alias("extracted_text"),
+        F.col("_f.norm_text").alias("norm_text"),
+        F.col("_f.simhash").alias("simhash"),
+        F.col("_f.minhash_sig").alias("minhash_sig"),
+    )
+    block_keys = F.concat(
+        F.array(F.concat(F.lit("dom:"), F.col("norm_domain"))),
+        simhash_bands(F.col("simhash"), n_simhash_bands),
+    )
+    return out.withColumn("block_keys", block_keys)
+
+
 def exact_match_edges(blocked: DataFrame, url_col: str = "url") -> DataFrame:
     """Exact phase: identical (norm_domain, simhash) ⇒ same entity.
 
@@ -196,9 +231,15 @@ def candidate_pairs(
         .select("url_a", "url_b")
         .dropDuplicates(["url_a", "url_b"])
     )
+    # scoring reads at most MAX_SCORE_CHARS of each text (similarity._prep
+    # slices before the DP), so the payload join ships only that prefix —
+    # identical scores, and the two text-attach shuffles carry a bounded
+    # ~0.5 KB/side instead of the full page text.
+    from ..functions.similarity import MAX_SCORE_CHARS
+
     payload = blocked.select(
         F.col(url_col).alias("url"),
-        F.col(text_col).alias("norm_text"),
+        F.substring(F.col(text_col), 1, MAX_SCORE_CHARS).alias("norm_text"),
         F.col("minhash_sig"),
     )
     pairs = (

@@ -104,7 +104,17 @@ def run_pipeline(
         )
 
     if io is None:
-        blocked = stage("blocked", lambda: _sketch(_extract(pages)))
+        # fully-fused stage 1+2 — one Arrow round trip for
+        # extract+normalize+sketch (see with_extract_sketch_keys); the
+        # staged form below would move norm_text through Python twice
+        from .operators.blocking import with_extract_sketch_keys
+
+        blocked = stage(
+            "blocked",
+            lambda: with_extract_sketch_keys(
+                pages, n_simhash_bands=cfg.n_simhash_bands
+            ),
+        )
         # column-pruned view of the same cache for final assignment —
         # keeps assigned's schema identical to the snapshot path
         extracted = blocked.drop("block_keys", "simhash", "minhash_sig")

@@ -108,3 +108,20 @@ def test_exact_edges_null_domain_group_kept(spark):
     edges = exact_match_edges(blocked)
     got = {(r["src"], r["dst"]) for r in edges.collect()}
     assert got == {("u2", "u1")}
+
+
+def test_fused_extract_sketch_parity(spark):
+    """with_extract_sketch_keys (one Arrow pass) must equal the staged
+    with_blocking_keys(with_extracted_normalized(df)) path — columns,
+    order, and values."""
+    from ai_data_matching_spark.extract import with_extracted_normalized
+    from ai_data_matching_spark.operators.blocking import with_extract_sketch_keys
+    from ai_data_matching_spark.synth import generate_pages
+
+    pages = generate_pages(spark, 200, seed=11).drop("entity_id")
+    staged = with_blocking_keys(with_extracted_normalized(pages).drop("text"))
+    fused = with_extract_sketch_keys(pages)
+    assert fused.columns == staged.columns
+    a = sorted(map(tuple, staged.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b
