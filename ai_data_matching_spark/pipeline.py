@@ -168,14 +168,23 @@ def run_pipeline(
 
     assigned = cluster_assignments(extracted, labels)
     if io is None:
-        # consumed eagerly twice by match_statistics (count + distinct
-        # count) and again by the caller — persist once, release via
-        # cache.release_persisted()
+        # consolidate + statistics never read the page text — persist a
+        # SLIM projection for their 3 eager passes (count, distinct,
+        # rollup) instead of re-caching the full text-bearing frame (a
+        # second full-width columnar cache build was ~25% of 4-core
+        # wall-clock at 150k pages). The caller's `assigned` recomputes
+        # from the blocked cache + persisted labels on consumption — one
+        # cheap projection join, no wide cache.
         from .cache import persist_tracked
 
-        assigned = persist_tracked(assigned)
-    clusters = consolidate_clusters(assigned, edges)
-    stats = match_statistics(assigned, edges)
+        slim = persist_tracked(
+            assigned.select("url", "warc_ts", "lang", "norm_domain", "cluster_id")
+        )
+        clusters = consolidate_clusters(slim, edges)
+        stats = match_statistics(slim, edges)
+    else:
+        clusters = consolidate_clusters(assigned, edges)
+        stats = match_statistics(assigned, edges)
     if io is not None:
         io.write_metric(stats, "final", "match_statistics")
 
