@@ -69,9 +69,18 @@ print("RESULT " + json.dumps({{"cpus": cpus, "docs": n, "seconds": round(best, 3
 
 def run_at(cpus: int, n_pages: int, reps: int) -> dict:
     script = _CHILD.format(repo=REPO, cpus=cpus, n_pages=n_pages, reps=reps)
+    cmd = [sys.executable, "-c", script]
+    if os.environ.get("SCALING_PIN", "1") == "1":
+        # Pin the whole child (JVM task threads AND the forked Python UDF
+        # workers) to exactly `cpus` hardware cores. Unpinned local[N]
+        # leaks extra cores — the separate Python worker processes run
+        # beside the N JVM task threads, so "local[1]" really consumes
+        # ~2 cores and inflates the N-baseline. A real 1-core executor
+        # gets ONE core for both; taskset reproduces that contract, which
+        # is what the N→4N-cores criterion asks to model.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
     proc = subprocess.run(
-        [sys.executable, "-c", script],
-        capture_output=True, text=True, timeout=1800, check=False,
+        cmd, capture_output=True, text=True, timeout=1800, check=False,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
