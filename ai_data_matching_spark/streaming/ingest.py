@@ -5,8 +5,8 @@ The reference is batch-only; at web scale new WARC drops arrive
 continuously, so the graft exposes the extraction/sketch stages as a
 stream: a parquet file source (the open-source stand-in for a WARC drop
 folder or Kafka topic) feeds the SAME narrow per-row transformations the
-batch pipeline uses — ``with_extracted_normalized`` and
-``with_blocking_keys`` are projection-only (no shuffle), so they are
+batch pipeline uses — ``with_extract_sketch_keys`` is
+projection-only (no shuffle), so it is
 streaming-safe verbatim; nothing is reimplemented.
 
 In-stream exact dedup uses ``dropDuplicatesWithinWatermark`` on the
@@ -22,8 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..extract import with_extracted_normalized
-from ..operators.blocking import with_blocking_keys
 
 PAGE_SCHEMA = T.StructType(
     [
@@ -48,9 +46,13 @@ def read_page_stream(
 
 
 def stream_extract_sketch(pages: DataFrame) -> DataFrame:
-    """Stage 1+2 on a stream: fused extract+normalize Arrow UDF + sketch
-    keys — both narrow projections, identical code to the batch path."""
-    return with_blocking_keys(with_extracted_normalized(pages))
+    """Stage 1+2 on a stream: the batch path's fully-fused
+    extract+normalize+sketch kernel (ONE Arrow round trip per micro-batch)
+    + native blocking keys — projection-only, stream-safe. ``text`` is
+    kept (stream schema parity with the staged form)."""
+    from ..operators.blocking import with_extract_sketch_keys
+
+    return with_extract_sketch_keys(pages, drop_cols=())
 
 
 def stream_dedup_exact(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
