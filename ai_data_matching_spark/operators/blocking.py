@@ -198,21 +198,25 @@ def candidate_pairs(
     ``max_block_size`` are excluded *before* the join (skew splitting).
     """
     # SLIM pair generation: the self-join + cross-key dedup shuffle only
-    # (block_key, url) pairs; texts and minhash signatures are attached
-    # AFTER dedup by joining the (much smaller) per-url payload back in.
-    # A pair colliding in k block keys would otherwise move its two text
-    # payloads through the shuffle k times — measured 2-3× of the whole
-    # candidate-stage cost at 250k pages.
+    # (block_key, uid) rows, where uid = xxhash64(url) — an 8-byte
+    # surrogate for the ~60-byte url string (the explode/self-join/dedup
+    # shuffles move every key-collision row; at pinned 4 cores the string
+    # form was ~4.4 s of a 24 s run at 150k pages). Texts and minhash
+    # signatures attach AFTER dedup by joining the per-uid payload back
+    # in, and the output re-orients to url_a < url_b, so the result is
+    # identical to the string-keyed form. A uid collision (two urls, one
+    # hash: P ≈ n²/2⁶⁴, ~0.03 expected pairs at 10¹² docs) drops that one
+    # candidate pair — bounded recall loss, never a wrong edge.
     sel = blocked.select(
-        F.col(url_col).alias("url"),
+        F.xxhash64(F.col(url_col)).alias("uid"),
         F.col("simhash"),
         F.explode("block_keys").alias("block_key"),
     )
-    hot = hot_keys(sel.select("block_key", "url"), max_block_size)
+    hot = hot_keys(sel.select("block_key", "uid"), max_block_size)
     cold = sel.join(F.broadcast(hot.select("block_key")), "block_key", "left_anti")
 
-    a = cold.select("block_key", F.col("url").alias("url_a"), F.col("simhash").alias("_sh_a"))
-    b = cold.select("block_key", F.col("url").alias("url_b"), F.col("simhash").alias("_sh_b"))
+    a = cold.select("block_key", F.col("uid").alias("uid_a"), F.col("simhash").alias("_sh_a"))
+    b = cold.select("block_key", F.col("uid").alias("uid_b"), F.col("simhash").alias("_sh_b"))
     # Simhash band keys are 16-bit, so UNRELATED pages collide by chance at
     # a rate of n²/2^16 per band — quadratic in corpus size. A native
     # full-simhash Hamming filter on band-derived pairs (JVM bit_count,
@@ -226,10 +230,10 @@ def candidate_pairs(
     )
     slim = (
         a.join(b, "block_key")
-        .filter(F.col("url_a") < F.col("url_b"))
+        .filter(F.col("uid_a") < F.col("uid_b"))
         .filter(ham_ok)
-        .select("url_a", "url_b")
-        .dropDuplicates(["url_a", "url_b"])
+        .select("uid_a", "uid_b")
+        .dropDuplicates(["uid_a", "uid_b"])
     )
     # scoring reads at most MAX_SCORE_CHARS of each text (similarity._prep
     # slices before the DP), so the payload join ships only that prefix —
@@ -238,27 +242,42 @@ def candidate_pairs(
     from ..functions.similarity import MAX_SCORE_CHARS
 
     payload = blocked.select(
+        F.xxhash64(F.col(url_col)).alias("uid"),
         F.col(url_col).alias("url"),
         F.substring(F.col(text_col), 1, MAX_SCORE_CHARS).alias("norm_text"),
         F.col("minhash_sig"),
     )
-    pairs = (
+    attached = (
         slim.join(
             payload.select(
-                F.col("url").alias("url_a"),
-                F.col("norm_text").alias("text_a"),
-                F.col("minhash_sig").alias("sig_a"),
+                F.col("uid").alias("uid_a"),
+                F.col("url").alias("_u_a"),
+                F.col("norm_text").alias("_t_a"),
+                F.col("minhash_sig").alias("_s_a"),
             ),
-            "url_a",
+            "uid_a",
         )
         .join(
             payload.select(
-                F.col("url").alias("url_b"),
-                F.col("norm_text").alias("text_b"),
-                F.col("minhash_sig").alias("sig_b"),
+                F.col("uid").alias("uid_b"),
+                F.col("url").alias("_u_b"),
+                F.col("norm_text").alias("_t_b"),
+                F.col("minhash_sig").alias("_s_b"),
             ),
-            "url_b",
+            "uid_b",
         )
+    )
+    # re-orient to url_a < url_b so the output contract (and every
+    # downstream tiebreak) is identical to the string-keyed formulation
+    flip = F.col("_u_a") > F.col("_u_b")
+    pick = lambda a_c, b_c: F.when(flip, F.col(b_c)).otherwise(F.col(a_c))  # noqa: E731
+    pairs = attached.select(
+        pick("_u_a", "_u_b").alias("url_a"),
+        pick("_u_b", "_u_a").alias("url_b"),
+        pick("_t_a", "_t_b").alias("text_a"),
+        pick("_t_b", "_t_a").alias("text_b"),
+        pick("_s_a", "_s_b").alias("sig_a"),
+        pick("_s_b", "_s_a").alias("sig_b"),
     )
     return pairs, hot
 
