@@ -77,8 +77,12 @@ def consolidate_clusters(
 def match_statistics(assigned: DataFrame, edges: DataFrame) -> DataFrame:
     """Headline metrics row: pages, clusters, duplicate pages, match rate,
     edge counts by type (reference A4 semantics over the graft domain)."""
-    n_pages = assigned.count()
-    n_clusters = assigned.select("cluster_id").distinct().count()
+    # one aggregation job for both counts (count + exact distinct) —
+    # two separate eager actions were pure fixed-cost at every scale
+    row = assigned.agg(
+        F.count("*").alias("_n"), F.countDistinct("cluster_id").alias("_c")
+    ).collect()[0]
+    n_pages, n_clusters = int(row["_n"]), int(row["_c"])
     by_type = {
         r["match_type"]: r["n"]
         for r in edges.groupBy("match_type").agg(F.count("*").alias("n")).collect()
