@@ -42,12 +42,16 @@ def _stream_work(n_iters: int) -> float:
 
 
 def probe(n_iters: int = 10) -> tuple[float, float]:
-    """Returns (one_proc_rate, eff4)."""
-    with mp.Pool(1) as p:
-        r1 = sum(p.map(_stream_work, [n_iters]))
+    """Returns (one_proc_rate, eff4). The 1-process leg is best-of-2 —
+    a single unlucky 30 s sample otherwise rejects a genuinely quiet
+    window (observed eff4 > 1.0, i.e. an inconsistent baseline)."""
+    r1 = 0.0
+    for _ in range(2):
+        with mp.Pool(1) as p:
+            r1 = max(r1, sum(p.map(_stream_work, [n_iters])))
     with mp.Pool(4) as p:
         r4 = sum(p.map(_stream_work, [n_iters] * 4))
-    return r1, r4 / r1 / 4.0
+    return r1, min(r4 / r1 / 4.0, 1.0)
 
 
 def main() -> None:
