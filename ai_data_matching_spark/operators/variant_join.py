@@ -15,14 +15,18 @@ Re-expressed relationally with the §2.7 nondeterminism traps fixed:
   here an explicit ``build_order`` column (caller-supplied stable id).
 
 Shape: explode variants on both sides → equi-join on the variant string
-→ per-probe-row ``row_number() == 1``. At scale this is exactly the
-engine's blocking equi-join; hot variants should be capped upstream the
-same way (`blocking.hot_keys`).
+→ per-probe ``min(struct(...))`` argmin. The aggregate (not a
+``row_number`` window) matters at scale: a hot variant whose bucket holds
+10⁶ build rows would funnel every joined row for each probing record into
+ONE window partition's sort, while ``min`` gets map-side partial
+aggregation — each shuffle task reduces its slice to one candidate row per
+probe before the exchange. Hot variants should additionally be capped
+upstream the same way as `blocking.hot_keys`.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..extract import MIN_MATCH_LENGTH, normalize_name_col, variants_col
@@ -63,18 +67,20 @@ def exact_match_via_variants(
         "_border", build_order if build_order is not None else F.col("build_id")
     )
     j = pv.join(bv, "variant")
-    w = Window.partitionBy("probe_id").orderBy(
-        F.asc("probe_priority"), F.asc("_border"), F.asc("build_id")
+    # struct comparison is lexicographic by field order ⇒ min() realises the
+    # total order (probe_priority, _border, build_id, variant); the trailing
+    # variant field keeps the winner deterministic even if one build row
+    # exposes the same string under two of its variant slots.
+    best = j.groupBy("probe_id").agg(
+        F.min(
+            F.struct("probe_priority", "_border", "build_id", "variant")
+        ).alias("_best")
     )
-    return (
-        j.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "probe_id",
-            "build_id",
-            F.col("variant").alias("match_variant"),
-            "probe_priority",
-            F.lit(1.0).alias("score"),
-            F.lit("exact").alias("match_type"),
-        )
+    return best.select(
+        "probe_id",
+        F.col("_best.build_id").alias("build_id"),
+        F.col("_best.variant").alias("match_variant"),
+        F.col("_best.probe_priority").alias("probe_priority"),
+        F.lit(1.0).alias("score"),
+        F.lit("exact").alias("match_type"),
     )
