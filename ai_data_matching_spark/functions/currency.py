@@ -42,8 +42,17 @@ FALLBACK_RATES: dict[str, float] = {
 
 
 def rates_df(spark) -> DataFrame:
-    return spark.createDataFrame(
-        sorted(FALLBACK_RATES.items()), "currency string, rate double"
+    """17-row rate dim as a VALUES literal → pure JVM ``LocalRelation``.
+
+    NOT ``createDataFrame(list)``: local Python lists take the
+    RDD/pickle path, so every *broadcast* evaluation of the dim ran a
+    Python-worker job (several seconds first-hit on a cold 32-slot
+    worker pool; the VALUES form evaluates in ~0.6 s and keeps the
+    whole conversion plan JVM-only)."""
+    rows = ", ".join(f"('{c}', {r!r})" for c, r in sorted(FALLBACK_RATES.items()))
+    return spark.sql(
+        f"SELECT currency, CAST(rate AS DOUBLE) AS rate"
+        f" FROM (VALUES {rows}) AS t(currency, rate)"
     )
 
 

@@ -80,39 +80,64 @@ DEFAULT_SMALL_GRAPH_EDGES = 2_000_000
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
     """Exact same labels as the iterative path, for edge sets that fit the
-    driver: one collect + path-compressed union-find + one parallelize.
+    driver: one Arrow collect + vectorized connected components.
 
     Replaces ~20 shuffle barriers (3 CC iterations × two star ops × 3
     shuffles each) with one serial pass — the CC loop is latency-bound,
     not volume-bound, once blocking/dedup has shrunk the graph; this is
-    the dominant serial term in the pipeline's Amdahl decomposition.
+    the dominant serial term in the pipeline's Amdahl decomposition, so
+    it is kept off the Python-object slow path entirely: ``toArrow`` →
+    C++ ``dictionary_encode`` → lexicographic rank remap (min-int ↔
+    min-url) → numpy min-label union with pointer-jumping compression
+    (O(log n) vectorized rounds; a dict-based union-find loop over the
+    same edges measured ~20× slower at 400k edges).
     """
-    import pandas as pd
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    rows = edges.select("src", "dst").toPandas()
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        root = x
-        while parent.setdefault(root, root) != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for s, d in zip(rows["src"], rows["dst"]):
-        rs, rd = find(s), find(d)
-        if rs != rd:
-            # union by MIN so the representative is the min url — the same
-            # canonical label the star algorithm converges to
-            if rs < rd:
-                parent[rd] = rs
-            else:
-                parent[rs] = rd
-    labels = pd.DataFrame(
-        {"url": list(parent), "component": [find(u) for u in parent]}
+    tbl = edges.select("src", "dst").toArrow()
+    if tbl.num_rows == 0:
+        return edges.sparkSession.createDataFrame([], "url string, component string")
+    n = tbl.num_rows
+    both = pa.concat_arrays(
+        [tbl.column("src").combine_chunks(), tbl.column("dst").combine_chunks()]
     )
-    return edges.sparkSession.createDataFrame(labels, "url string, component string")
+    enc = pc.dictionary_encode(both)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    dictionary = enc.dictionary
+    m = len(dictionary)
+    # remap hash-ordered dictionary codes to lexicographic ranks so the
+    # numeric component minimum IS the min-url representative the star
+    # algorithm converges to
+    order = pc.sort_indices(dictionary).to_numpy().astype(np.int64)
+    rank_of = np.empty(m, dtype=np.int64)
+    rank_of[order] = np.arange(m, dtype=np.int64)
+    a, b = rank_of[codes[:n]], rank_of[codes[n:]]
+    sorted_urls = dictionary.take(pa.array(order))
+
+    label = np.arange(m, dtype=np.int64)
+    while True:
+        la, lb = label[a], label[b]
+        if np.array_equal(la, lb):
+            break
+        mn = np.minimum(la, lb)
+        # union at the ROOT positions (la/lb, not a/b): labels are
+        # monotone non-increasing, so this terminates at the fixpoint
+        # where every edge's endpoints share the component minimum
+        np.minimum.at(label, la, mn)
+        np.minimum.at(label, lb, mn)
+        while True:  # pointer jumping: full path compression
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+    out = pa.table(
+        {"url": sorted_urls, "component": sorted_urls.take(pa.array(label))}
+    )
+    return edges.sparkSession.createDataFrame(
+        out, schema="url string, component string"
+    )
 
 
 def connected_components(

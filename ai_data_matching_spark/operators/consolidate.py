@@ -89,16 +89,16 @@ def match_statistics(assigned: DataFrame, edges: DataFrame) -> DataFrame:
     }
     dup_pages = n_pages - n_clusters
     spark = assigned.sparkSession
-    return spark.createDataFrame(
-        [
-            (
-                n_pages,
-                n_clusters,
-                dup_pages,
-                round(dup_pages / n_pages * 100.0, 2) if n_pages else 0.0,
-                int(by_type.get("exact", 0)),
-                int(by_type.get("fuzzy", 0)),
-            )
-        ],
-        "n_pages long, n_clusters long, n_duplicate_pages long, duplicate_rate_pct double, n_exact_edges long, n_fuzzy_edges long",
+    # literal projection over range(1) → JVM LocalRelation; a local-list
+    # createDataFrame would take the RDD/pickle path and run a Python
+    # worker job per evaluation of this 1-row frame
+    return spark.range(1).select(
+        F.lit(n_pages).cast("long").alias("n_pages"),
+        F.lit(n_clusters).cast("long").alias("n_clusters"),
+        F.lit(dup_pages).cast("long").alias("n_duplicate_pages"),
+        F.lit(
+            round(dup_pages / n_pages * 100.0, 2) if n_pages else 0.0
+        ).cast("double").alias("duplicate_rate_pct"),
+        F.lit(int(by_type.get("exact", 0))).cast("long").alias("n_exact_edges"),
+        F.lit(int(by_type.get("fuzzy", 0))).cast("long").alias("n_fuzzy_edges"),
     )
