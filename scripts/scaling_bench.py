@@ -55,6 +55,11 @@ for _ in range({reps}):
     # identical plans across invocations — clear between reps so each rep
     # measures real compute, then re-materialize the input un-timed.
     spark.catalog.clearCache()
+    # force a driver GC so ContextCleaner deletes the previous rep's
+    # shuffle files from the tmpfs local dir — at 1M pages the stale
+    # files' RAM occupancy measurably slowed rep 2 at both levels
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
     pages = raw.repartition(2 * cpus).persist()
     n = pages.count()
     t0 = time.perf_counter()
