@@ -1,0 +1,280 @@
+"""Incremental entity resolution: fold a batch of NEW pages into a prior
+committed run without regenerating or rescoring old-old pairs.
+
+A web-scale corpus is append-mostly: each crawl adds a slice while the
+resolved history (blocked sketches + pair graph) is already committed as
+snapshots (sources/tables.TableIO — the engine's Iceberg-contract
+checkpoint layer). Re-running the full pipeline over history ∪ batch
+re-scores O(history) pairs to add O(batch) new ones. This module scores
+only pairs that TOUCH the new batch:
+
+* blocking — the batch is sketched with the same fused Arrow kernel,
+  unioned with the prior ``blocked`` snapshot under an ``_is_new`` flag;
+  hot-key (skew) exclusion is computed over the UNION block sizes, i.e.
+  the same cap decisions a full recompute over history ∪ batch would
+  make for the new pairs.
+* candidate generation — an asymmetric equi-join: new-side keys against
+  all-side keys, so old-old pairs are never materialized. Orientation,
+  Hamming prefilter, cross-key dedup and payload attach are shared with
+  ``blocking.candidate_pairs`` semantics (url_a < url_b contract).
+* exact phase — (norm_domain, simhash) groups that gained ≥1 new member
+  re-emit star edges for ALL their members → union-group rep, so a new
+  page joining a previously-singleton group links the old member too.
+* clustering — connected components over prior edges ∪ new edges. Edges
+  are only ever ADDED, so incremental clustering is monotone: pages
+  co-clustered before stay co-clustered after (the standard contract
+  for incremental ER). With ``best_match_only=False`` and no block
+  crossing the size cap between runs, the result is EXACTLY the full
+  recompute's clustering (tests/test_incremental.py asserts equality).
+  With top-1 edge selection the per-batch argmax can keep a different
+  (never a missing) edge than the global argmax would — documented
+  divergence, clusters only coarsen.
+
+Each batch commits its own ``blocked`` / ``edges`` / ``labels``
+snapshots under a batch-derived fingerprint, so a killed incremental run
+resumes per stage exactly like the base pipeline, and the next batch
+chains on this batch's committed state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import PipelineConfig, PipelineResult
+from ..sources.tables import TableIO, config_fingerprint
+from .blocking import hot_keys, route_unmatched, with_extract_sketch_keys
+from .clustering import cluster_assignments, connected_components
+from .consolidate import consolidate_clusters, match_statistics
+from .scoring import fuzzy_match_edges, score_pairs, union_edges
+
+BLOCKED_COLS = ["url", "warc_ts", "lang", "norm_domain", "norm_text",
+                "simhash", "minhash_sig", "block_keys"]
+
+
+def exact_match_edges_touched(blocked_union: DataFrame, new_flag: str = "_is_new") -> DataFrame:
+    """Star edges for exact groups that gained at least one new member.
+
+    Emits member → union-group-min-url for EVERY member of a touched
+    group (old members included): if the batch page becomes the group's
+    new rep, linking only new members would leave the old ones
+    disconnected from it. Untouched groups keep their prior edges.
+    """
+    grp = (
+        blocked_union.groupBy("norm_domain", "simhash")
+        .agg(
+            F.min("url").alias("_rep"),
+            F.count("*").alias("_n"),
+            F.max(F.col(new_flag).cast("int")).alias("_new"),
+        )
+        .filter((F.col("_n") > 1) & (F.col("_new") == 1))
+        .select(F.col("norm_domain").alias("_gd"), F.col("simhash").alias("_gs"), "_rep")
+    )
+    return (
+        blocked_union.select("norm_domain", "simhash", F.col("url").alias("src"))
+        .join(
+            grp,
+            F.col("norm_domain").eqNullSafe(F.col("_gd"))
+            & F.col("simhash").eqNullSafe(F.col("_gs")),
+        )
+        .filter(F.col("src") != F.col("_rep"))
+        .select(
+            "src",
+            F.col("_rep").alias("dst"),
+            F.lit(1.0).alias("score"),
+            F.lit("exact").alias("match_type"),
+        )
+    )
+
+
+def incremental_candidate_pairs(
+    blocked_union: DataFrame,
+    new_flag: str = "_is_new",
+    max_block_size: int = 64,
+    max_band_hamming: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """New-touching candidate pairs: (new × all) minus old-old.
+
+    Same contract as ``blocking.candidate_pairs`` — slim uid join,
+    Hamming prefilter on simhash-band pairs, cross-key dedup, payload
+    attach, url_a < url_b — but the left join side carries only the new
+    batch, so the join output is O(batch × block), not O(block²). The
+    hot-key cap is measured over UNION block sizes (what a full
+    recompute would see).
+    """
+    sel = blocked_union.select(
+        F.xxhash64(F.col("url")).alias("uid"),
+        F.col("simhash"),
+        F.col(new_flag).alias("_new"),
+        F.explode("block_keys").alias("block_key"),
+    )
+    hot = hot_keys(sel.select("block_key", "uid"), max_block_size)
+    cold = sel.join(F.broadcast(hot.select("block_key")), "block_key", "left_anti")
+
+    a = cold.filter(F.col("_new")).select(
+        "block_key", F.col("uid").alias("uid_a"), F.col("simhash").alias("_sh_a")
+    )
+    b = cold.select("block_key", F.col("uid").alias("uid_b"), F.col("simhash").alias("_sh_b"))
+    ham_ok = (~F.col("block_key").startswith("sh")) | (
+        F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))) <= max_band_hamming
+    )
+    # orient by least/greatest (the asymmetric join yields new-old pairs
+    # in one order and new-new pairs in both), then dedup across keys
+    slim = (
+        a.join(b, "block_key")
+        .filter(F.col("uid_a") != F.col("uid_b"))
+        .filter(ham_ok)
+        .select(
+            F.least("uid_a", "uid_b").alias("uid_a"),
+            F.greatest("uid_a", "uid_b").alias("uid_b"),
+        )
+        .dropDuplicates(["uid_a", "uid_b"])
+    )
+    from ..functions.similarity import MAX_SCORE_CHARS
+
+    payload = blocked_union.select(
+        F.xxhash64(F.col("url")).alias("uid"),
+        F.col("url"),
+        F.substring(F.col("norm_text"), 1, MAX_SCORE_CHARS).alias("norm_text"),
+        F.col("minhash_sig"),
+    )
+    attached = slim.join(
+        payload.select(
+            F.col("uid").alias("uid_a"),
+            F.col("url").alias("_u_a"),
+            F.col("norm_text").alias("_t_a"),
+            F.col("minhash_sig").alias("_s_a"),
+        ),
+        "uid_a",
+    ).join(
+        payload.select(
+            F.col("uid").alias("uid_b"),
+            F.col("url").alias("_u_b"),
+            F.col("norm_text").alias("_t_b"),
+            F.col("minhash_sig").alias("_s_b"),
+        ),
+        "uid_b",
+    )
+    flip = F.col("_u_a") > F.col("_u_b")
+    pick = lambda a_c, b_c: F.when(flip, F.col(b_c)).otherwise(F.col(a_c))  # noqa: E731
+    pairs = attached.select(
+        pick("_u_a", "_u_b").alias("url_a"),
+        pick("_u_b", "_u_a").alias("url_b"),
+        pick("_t_a", "_t_b").alias("text_a"),
+        pick("_t_b", "_t_a").alias("text_b"),
+        pick("_s_a", "_s_b").alias("sig_a"),
+        pick("_s_b", "_s_a").alias("sig_b"),
+    )
+    return pairs, hot
+
+
+def run_incremental(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    io: TableIO,
+    batch_id: str,
+    cfg: PipelineConfig | None = None,
+    prior_fingerprint: str | None = None,
+) -> PipelineResult:
+    """Resolve ``new_pages`` (url, warc_ts, html[, text, lang]) against the
+    prior committed run and commit the merged state.
+
+    ``prior_fingerprint`` identifies the state to chain on: the base
+    pipeline's config fingerprint for the first batch, or a previous
+    batch's returned fingerprint (``config_fingerprint`` of cfg+batch)
+    for later ones. Commits ``blocked`` / ``edges`` / ``labels``
+    snapshots under this batch's fingerprint, so the run is resumable
+    per stage and the next batch can chain on it.
+    """
+    cfg = cfg or PipelineConfig()
+    base_fp = prior_fingerprint or config_fingerprint(asdict(cfg))
+    fp = config_fingerprint({"cfg": asdict(cfg), "batch": batch_id, "prior": base_fp})
+    resumed: list[str] = []
+
+    prior_blocked_rec = io.last_committed("blocked", base_fp)
+    prior_edges_rec = io.last_committed("edges", base_fp)
+    if prior_blocked_rec is None or prior_edges_rec is None:
+        raise ValueError(
+            f"no committed blocked/edges snapshots for fingerprint {base_fp}; "
+            "run the base pipeline with this TableIO first"
+        )
+    prior_blocked = io.read_snapshot(spark, prior_blocked_rec).select(*BLOCKED_COLS)
+    prior_edges = io.read_snapshot(spark, prior_edges_rec)
+
+    def stage(name: str, compute) -> DataFrame:
+        df, was_resumed = io.read_or_compute(spark, name, fp, compute)
+        if was_resumed:
+            resumed.append(name)
+        return df
+
+    # batch sketching: same fused kernel + key derivation as the pipeline
+    def _blocked_union() -> DataFrame:
+        batch = with_extract_sketch_keys(
+            new_pages, n_simhash_bands=cfg.n_simhash_bands
+        ).select(*BLOCKED_COLS)
+        return prior_blocked.withColumn("_is_new", F.lit(False)).unionByName(
+            batch.withColumn("_is_new", F.lit(True))
+        )
+
+    blocked = stage("blocked", _blocked_union)
+
+    def _edges() -> DataFrame:
+        exact_inc = exact_match_edges_touched(blocked)
+        pairs, overflow = incremental_candidate_pairs(
+            blocked,
+            max_block_size=cfg.max_block_size,
+            max_band_hamming=cfg.max_band_hamming,
+        )
+        io.write_metric(overflow, "edges", f"block_overflow_{batch_id}")
+        routed = route_unmatched(pairs, exact_inc)
+        scored = score_pairs(routed, match_threshold=cfg.fuzzy_threshold).drop(
+            "sig_a", "sig_b", "text_a", "text_b"
+        )
+        fuzzy_inc = fuzzy_match_edges(
+            scored, threshold=cfg.fuzzy_threshold, best_match_only=cfg.best_match_only
+        )
+        new_edges = union_edges(exact_inc, fuzzy_inc)
+        # prior edges are never retracted (monotone contract). The same
+        # (src, dst) can recur — e.g. a prior fuzzy edge now re-emitted
+        # as an exact star edge for a touched group — so merge by max
+        # (score, match_type) struct: deterministic, exact (1.0) wins
+        merged = prior_edges.unionByName(new_edges)
+        return (
+            merged.groupBy("src", "dst")
+            .agg(F.max(F.struct("score", "match_type")).alias("_m"))
+            .select(
+                "src",
+                "dst",
+                F.col("_m.score").alias("score"),
+                F.col("_m.match_type").alias("match_type"),
+            )
+        )
+
+    edges = stage("edges", _edges)
+
+    cc_iters = 0
+
+    def _labels() -> DataFrame:
+        nonlocal cc_iters
+        labels, cc_iters = connected_components(edges)
+        return labels
+
+    labels = stage("labels", _labels)
+
+    pages_slim = blocked.select("url", "warc_ts", "lang", "norm_domain")
+    assigned = cluster_assignments(pages_slim, labels)
+    clusters = consolidate_clusters(assigned, edges)
+    stats = match_statistics(assigned, edges)
+    io.write_metric(stats, "final", f"match_statistics_{batch_id}")
+
+    return PipelineResult(
+        assigned=assigned,
+        clusters=clusters,
+        edges=edges,
+        stats=stats,
+        resumed_stages=resumed,
+        cc_iterations=cc_iters,
+        fingerprint=fp,
+    )

@@ -48,6 +48,9 @@ class PipelineResult:
     stats: DataFrame         # headline match statistics
     resumed_stages: list[str]
     cc_iterations: int
+    # snapshot fingerprint the run committed under (None when io=None);
+    # an incremental batch chains on this via run_incremental(prior_fingerprint=...)
+    fingerprint: str | None = None
 
 
 STAGES = ["extract", "blocked", "exact_edges", "scored", "edges", "labels"]
@@ -195,6 +198,7 @@ def run_pipeline(
         stats=stats,
         resumed_stages=resumed,
         cc_iterations=cc_iters,
+        fingerprint=fp if io is not None else None,
     )
 
 

@@ -1,0 +1,83 @@
+"""Incremental ER: folding a batch of new pages into a prior committed run
+must (a) equal the full recompute's clustering when no block crosses the
+size cap and best_match_only=False (operators/incremental.py docstring
+contract), (b) never split previously co-clustered pages (monotone), and
+(c) resume per stage and chain batch→batch through committed snapshots."""
+
+from pyspark.sql import functions as F
+
+from ai_data_matching_spark.operators.incremental import run_incremental
+from ai_data_matching_spark.pipeline import PipelineConfig, run_pipeline
+from ai_data_matching_spark.sources.tables import TableIO
+
+
+CFG = PipelineConfig(best_match_only=False)
+
+
+def _partition(assigned) -> set[frozenset]:
+    """Clustering as a set of url-sets (label-invariant comparison)."""
+    by_cluster: dict[str, set] = {}
+    for r in assigned.select("url", "cluster_id").collect():
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["url"])
+    return {frozenset(v) for v in by_cluster.values()}
+
+
+def _split(pages, n_buckets: int, bucket: int):
+    return pages.filter(F.pmod(F.xxhash64("url"), F.lit(n_buckets)) == bucket)
+
+
+def test_incremental_equals_full_recompute(spark, pages_small, tmp_path):
+    pages = pages_small.drop("entity_id")
+    base = _split(pages, 4, 0).unionByName(_split(pages, 4, 1)).unionByName(_split(pages, 4, 2))
+    batch = _split(pages, 4, 3)
+    assert batch.count() > 0 and base.count() > 0
+
+    io = TableIO(str(tmp_path / "snaps"))
+    base_res = run_pipeline(spark, base, io=io, cfg=CFG)
+    inc_res = run_incremental(spark, batch, io, "b1", cfg=CFG)
+
+    full = run_pipeline(spark, pages, cfg=CFG)
+    assert _partition(inc_res.assigned) == _partition(full.assigned)
+
+    # monotone: pages co-clustered in the base run stay co-clustered
+    inc_parts = _partition(inc_res.assigned)
+    containing = {}
+    for part in inc_parts:
+        for url in part:
+            containing[url] = part
+    for base_part in _partition(base_res.assigned):
+        anchor = next(iter(base_part))
+        assert base_part <= containing[anchor], base_part
+
+
+def test_incremental_resumes_and_chains(spark, pages_small, tmp_path):
+    pages = pages_small.drop("entity_id")
+    base = _split(pages, 3, 0)
+    b1 = _split(pages, 3, 1)
+    b2 = _split(pages, 3, 2)
+
+    io = TableIO(str(tmp_path / "snaps"))
+    base_res = run_pipeline(spark, base, io=io, cfg=CFG)
+    assert base_res.fingerprint is not None
+
+    inc1 = run_incremental(spark, b1, io, "b1", cfg=CFG)
+    assert inc1.resumed_stages == []
+    assert inc1.fingerprint is not None and inc1.fingerprint != base_res.fingerprint
+
+    # killed-and-rerun batch: every stage resumes from its committed snapshot
+    rerun = run_incremental(spark, b1, io, "b1", cfg=CFG)
+    assert set(rerun.resumed_stages) == {"blocked", "edges", "labels"}
+    assert _partition(rerun.assigned) == _partition(inc1.assigned)
+
+    # batch 2 chains on batch 1's committed state, not the base run's
+    inc2 = run_incremental(spark, b2, io, "b2", cfg=CFG, prior_fingerprint=inc1.fingerprint)
+    full = run_pipeline(spark, pages, cfg=CFG)
+    assert _partition(inc2.assigned) == _partition(full.assigned)
+
+
+def test_incremental_requires_committed_base(spark, pages_small, tmp_path):
+    import pytest
+
+    io = TableIO(str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="no committed blocked/edges"):
+        run_incremental(spark, pages_small.drop("entity_id"), io, "b1", cfg=CFG)
