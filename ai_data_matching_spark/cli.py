@@ -38,6 +38,18 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     )
     p.add_argument("--seed", type=int, default=42, help="synth corpus seed")
     p.add_argument("--checkpoint-root", help="TableIO root for stage snapshots + resume")
+    p.add_argument(
+        "--incremental-batch",
+        metavar="BATCH_ID",
+        help="treat the input as a NEW-page batch and fold it into the prior "
+        "committed run at --checkpoint-root (operators/incremental.py); the "
+        "summary prints this batch's fingerprint for the next batch to chain on",
+    )
+    p.add_argument(
+        "--prior-fingerprint",
+        help="state to chain on: omit for the base run's config fingerprint, "
+        "or pass a previous batch's printed fingerprint",
+    )
     p.add_argument("--output-prefix", help="write assigned/clusters/edges/stats here")
     p.add_argument("--fuzzy-threshold", type=float, default=None)
     p.add_argument("--max-block-size", type=int, default=None)
@@ -77,7 +89,22 @@ def main(argv: list[str] | None = None) -> int:
 
     io = TableIO(args.checkpoint_root) if args.checkpoint_root else None
     t0 = time.perf_counter()
-    res = run_pipeline(spark, pages, io=io, cfg=cfg)
+    if args.incremental_batch:
+        if io is None:
+            print("--incremental-batch requires --checkpoint-root", file=sys.stderr)
+            return 2
+        from .operators.incremental import run_incremental
+
+        res = run_incremental(
+            spark,
+            pages,
+            io,
+            args.incremental_batch,
+            cfg=cfg,
+            prior_fingerprint=args.prior_fingerprint,
+        )
+    else:
+        res = run_pipeline(spark, pages, io=io, cfg=cfg)
 
     if args.output_prefix:
         res.assigned.write.mode("overwrite").parquet(f"{args.output_prefix}/assigned.parquet")
@@ -92,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
         "seconds": round(time.perf_counter() - t0, 2),
         "resumed_stages": res.resumed_stages,
         "cc_iterations": res.cc_iterations,
+        "fingerprint": res.fingerprint,
         "stats": stats,
     }
     print(json.dumps(summary, default=str))
