@@ -7,9 +7,22 @@
   compare against vectors sharing a hyperplane-sign bucket (multi-probe
   via several independent tables). The scale path: candidate set shrinks
   ~2^bits per table; recall measured against brute force in tests.
+* ``cosine_topk_ivf`` — inverted-file (coarse-quantizer) index: spherical
+  k-means centroids trained on a bounded driver sample, every corpus
+  vector assigned to its nearest-centroid list, queries probe the
+  ``nprobe`` nearest lists. Candidates = list equi-join; exact cosine on
+  candidates only. The data-adaptive complement to LSH's data-oblivious
+  hyperplanes — clustered corpora get tighter candidate sets at equal
+  probe cost.
 
 At 100 TB: brute force is O(Q·N) — only viable with small broadcast Q;
-LSH bounds the join fan-out by bucket and is the default for big Q.
+LSH/IVF bound the join fan-out per bucket/list and are the defaults for
+big Q. IVF training never sees more than ``sample_n`` vectors (one
+bounded TakeOrdered collect); the centroid matrix (n_centroids × dim
+doubles) ships to executors inside the Arrow UDF closure, and the
+candidate join is a plain equi-join on ``list_id`` whose skew is bounded
+by k-means balance — at 10^12 rows raise n_centroids ∝ √N (or go
+two-level IVF) so per-list size stays shuffle-partition-friendly.
 """
 
 from __future__ import annotations
@@ -144,6 +157,124 @@ def cosine_topk_lsh(
     q = bucketed(queries, "query")
     cand = (
         c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_col(F.col("_queryv"), F.col("_neighborv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 20_000,
+    n_iters: int = 8,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained on a deterministic
+    bounded sample (the ``sample_n`` lowest ``xxhash64(id)`` rows — a
+    uniform pseudo-random draw that is identical across runs, partitions
+    and cluster sizes, unlike ``df.sample``'s partition-seeded RNG).
+
+    Lloyd iterations run in numpy on the driver: assign = argmax dot
+    against L2-normalized centroids, update = renormalized member mean;
+    a list that empties keeps its previous centroid. Deterministic init:
+    the first ``n_centroids`` rows of the hash-ordered sample. Returns a
+    (n_centroids × dim) float64 matrix of unit rows. O(sample_n · dim ·
+    n_centroids · n_iters) driver work — independent of corpus size.
+    """
+    sample = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("_v"),
+                      F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_n)
+        .select("_v")
+        .toPandas()
+    )
+    x = np.array(sample["_v"].tolist(), dtype=np.float64)
+    if len(x) < n_centroids:
+        raise ValueError(f"sample ({len(x)}) smaller than n_centroids ({n_centroids})")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_centroids].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cents[c] = m / n
+    return cents
+
+
+def make_ivf_list_udf(centroids: np.ndarray, nprobe: int):
+    """Arrow-batched list assignment: one ``X @ C.T`` matrix product per
+    batch, then argpartition for the top-``nprobe`` lists per row. The
+    centroid matrix is captured in the closure (broadcast once per
+    executor by task serialization — a few KB)."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    np_ = min(nprobe, len(cents))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _lists(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cents.T
+        if np_ == len(cents):
+            top = np.tile(np.arange(len(cents)), (len(mat), 1))
+        else:
+            top = np.argpartition(-sims, np_ - 1, axis=1)[:, :np_]
+        return pd.Series([row.astype(int).tolist() for row in top])
+
+    return _lists
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 20_000,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer.
+
+    Corpus vectors live in exactly one inverted list (top-1 centroid);
+    each query probes its ``nprobe`` nearest lists. Candidates are the
+    list equi-join; exact cosine on candidates only, then window top-k —
+    same output contract as the brute-force baseline, so recall is
+    directly measurable (tests/test_similarity_search.py)."""
+    cents = train_ivf_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col, sample_n=sample_n
+    )
+    assign1 = make_ivf_list_udf(cents, 1)
+    probe = make_ivf_list_udf(cents, nprobe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_neighborv"),
+        F.explode(assign1(F.col(vec_col).cast("array<double>"))).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_queryv"),
+        F.explode(probe(F.col(vec_col).cast("array<double>"))).alias("list_id"),
+    )
+    cand = (
+        c.join(q, "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )

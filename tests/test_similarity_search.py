@@ -61,3 +61,61 @@ def test_lsh_candidates_shrink(spark, emb):
     approx = cosine_topk_lsh(emb, queries, k=10**9, bits=8, n_tables=2)
     n_cand = approx.count()
     assert n_cand < 0.5 * n * q
+
+
+def test_ivf_contract_params_are_exact_at_driver_sf(spark):
+    """The contract query's params (8 centroids, nprobe 6) must reproduce
+    the exact brute-force top-k at sf0.01 — the scale the correctness
+    driver runs ann_ivf_topk's brute-force DuckDB oracle at. (sf0.001's
+    embeddings have near-orthogonal top-3 neighbors that defeat ANY
+    non-exhaustive probe — recall there is gated separately below.)"""
+    from ai_data_matching_spark.operators.similarity_search import cosine_topk_ivf
+
+    emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb01.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk_bruteforce(emb01, queries, k=3)
+    approx = cosine_topk_ivf(emb01, queries, k=3, n_centroids=8, nprobe=6)
+    e = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in approx.collect()}
+    assert a == e
+
+
+def test_ivf_recall_bound_on_adversarial_embeddings(spark, emb):
+    """sf0.001: the hard case for a coarse quantizer (top neighbors are
+    near-orthogonal to their query, so list locality is weak). The probe
+    path must still recover most of the exact top-3."""
+    from ai_data_matching_spark.operators.similarity_search import cosine_topk_ivf
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk_bruteforce(emb, queries, k=3)
+    approx = cosine_topk_ivf(emb, queries, k=3, n_centroids=8, nprobe=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.7  # measured 0.8 at this config
+
+
+def test_ivf_candidates_shrink_and_recall_degrades_gracefully(spark, emb):
+    """Approximate regime: fewer probes ⇒ strictly bounded candidate set,
+    recall stays usable (data-adaptive lists beat random assignment)."""
+    from ai_data_matching_spark.operators.similarity_search import cosine_topk_ivf
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    n, q = emb.count(), queries.count()
+    approx = cosine_topk_ivf(emb, queries, k=10**9, n_centroids=8, nprobe=2)
+    n_cand = approx.count()
+    assert n_cand < 0.5 * n * q
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    top = cosine_topk_ivf(emb, queries, k=5, n_centroids=8, nprobe=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in top.collect()}
+    assert len(e & a) / len(e) >= 0.4  # measured 0.53 at this config
+
+
+def test_ivf_training_is_deterministic(spark, emb):
+    """Two trainings over differently-partitioned inputs give the same
+    centroids (hash-ordered sample, fixed init — no RNG state)."""
+    from ai_data_matching_spark.operators.similarity_search import train_ivf_centroids
+
+    c1 = train_ivf_centroids(emb.repartition(7), 8)
+    c2 = train_ivf_centroids(emb.coalesce(1), 8)
+    assert np.allclose(c1, c2)
