@@ -119,6 +119,59 @@ def main() -> None:
     if not want_pipeline:
         spark = _build(cpus)
 
+    # -- incremental ER: fold a ~10% batch into a committed base run.
+    #    The base commit is untimed (it is the prior state an incremental
+    #    user already has); the timed window is the batch fold only. The
+    #    speedup reported is vs recomputing base∪batch at the headline
+    #    full-pipeline rate.
+    if want_pipeline and os.environ.get("BENCH_INCREMENTAL", "1") != "0":
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from ai_data_matching_spark.cache import release_persisted
+        from ai_data_matching_spark.operators.incremental import run_incremental
+        from ai_data_matching_spark.pipeline import run_pipeline
+        from ai_data_matching_spark.sources.tables import TableIO
+        from ai_data_matching_spark.synth import generate_pages
+
+        release_persisted()
+        spark.catalog.clearCache()
+        all_pages = generate_pages(spark, n_pages, seed=42).drop("entity_id")
+        is_batch = F.pmod(F.xxhash64("url"), F.lit(10)) == 0
+        root = tempfile.mkdtemp(prefix="bench-inc-")
+        try:
+            io = TableIO(root)
+            base = all_pages.filter(~is_batch).persist()
+            n_base = base.count()
+            t0 = time.perf_counter()
+            run_pipeline(spark, base, io=io)  # the prior committed state
+            t_base = time.perf_counter() - t0
+            base.unpersist()
+            release_persisted()
+            spark.catalog.clearCache()
+            batch = all_pages.filter(is_batch).persist()
+            n_batch = batch.count()
+            t0 = time.perf_counter()
+            inc = run_incremental(spark, batch, io, "bench-b1")
+            _materialize(inc.assigned)
+            dt = time.perf_counter() - t0
+            timings["er_incremental"] = round(dt, 3)
+            extras["er_incremental_batch_docs"] = n_batch
+            extras["er_incremental_docs_per_sec"] = round(n_batch / dt, 1)
+            # recompute anchor: the SAME checkpointed code path over the
+            # base corpus, scaled to base∪batch size — apples-to-apples
+            # (both sides pay snapshot commits), measured not estimated
+            extras["er_incremental_speedup_vs_recompute"] = round(
+                t_base * ((n_base + n_batch) / n_base) / dt, 2
+            )
+            batch.unpersist()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        release_persisted()
+        spark.catalog.clearCache()
+
     qs = entry_mod.queries()
     for name in [
         "q1_pricing_summary",

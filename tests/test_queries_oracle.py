@@ -15,14 +15,26 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+# Queries whose self-check must run at the driver's sf (0.01) instead of
+# the fast 0.001: ann_ivf_topk's recall-1.0 contract holds at sf0.01 (the
+# external CORRECTNESS scale), while sf0.001's embeddings have
+# near-orthogonal top-3 neighbors that no non-exhaustive probe recovers
+# (recall there is gated in tests/test_similarity_search.py instead).
+SF_OVERRIDES = {"ann_ivf_topk": "/root/testdata/sf0.01"}
+
+
+def _connect(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
 
 
 @pytest.fixture(scope="module")
 def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
-    return con
+    return {
+        sf: _connect(sf) for sf in {SF_DIR, *SF_OVERRIDES.values()}
+    }
 
 
 def _canon(val):
@@ -43,12 +55,13 @@ ORACLE_KEYS = sorted(set(entry_mod.queries()) & set(entry_mod.oracle_sql()))
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(spark, duck, name):
+    sf_dir = SF_OVERRIDES.get(name, SF_DIR)
     q = entry_mod.queries()[name]
-    sdf = q(spark, SF_DIR)
+    sdf = q(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(entry_mod.oracle_sql()[name])
+    res = duck[sf_dir].execute(entry_mod.oracle_sql()[name])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
 
