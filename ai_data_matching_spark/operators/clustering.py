@@ -92,13 +92,17 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     (O(log n) vectorized rounds; a dict-based union-find loop over the
     same edges measured ~20× slower at 400k edges).
     """
+    return _union_find_arrow(edges.select("src", "dst").toArrow(), edges.sparkSession)
+
+
+def _union_find_arrow(tbl, spark) -> DataFrame:
+    """Driver union-find over an already-collected Arrow edge table."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    tbl = edges.select("src", "dst").toArrow()
     if tbl.num_rows == 0:
-        return edges.sparkSession.createDataFrame([], "url string, component string")
+        return spark.createDataFrame([], "url string, component string")
     n = tbl.num_rows
     both = pa.concat_arrays(
         [tbl.column("src").combine_chunks(), tbl.column("dst").combine_chunks()]
@@ -135,9 +139,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     out = pa.table(
         {"url": sorted_urls, "component": sorted_urls.take(pa.array(label))}
     )
-    return edges.sparkSession.createDataFrame(
-        out, schema="url string, component string"
-    )
+    return spark.createDataFrame(out, schema="url string, component string")
 
 
 def connected_components(
@@ -167,20 +169,17 @@ def connected_components(
 
     slim = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     if small_graph_threshold:
-        # persist ONCE so the threshold count and the subsequent collect
-        # (or the iterative loop's first checkpoint) reuse the materialized
-        # edges instead of recomputing the full upstream blocking+scoring
-        # lineage twice — the count is a map-side-combined aggregation over
-        # the cached blocks
-        slim = slim.persist()
-        n_edges = slim.count()
-        if n_edges <= small_graph_threshold:
-            labels = _driver_union_find(slim)  # collects eagerly
-            slim.unpersist()
-            return labels, 0
+        # ONE gating job: collect at most threshold+1 edges. If the limit
+        # was not hit, the collected table IS the complete edge set — the
+        # driver path needs no second pass, no persist build, no count
+        # job (each was a full upstream materialization or a serial
+        # barrier in the Amdahl decomposition). If the limit WAS hit, the
+        # graph is big and the ~threshold-row probe is noise next to the
+        # iterative rounds it precedes.
+        head = slim.limit(small_graph_threshold + 1).toArrow()
+        if head.num_rows <= small_graph_threshold:
+            return _union_find_arrow(head, edges.sparkSession), 0
     cur = checkpoint_fn(slim, 0)
-    if small_graph_threshold:
-        slim.unpersist()  # checkpoint materialized its own copy
     prev_fp = _fingerprint(cur)
     iterations = 0
     for it in range(1, max_iterations + 1):
