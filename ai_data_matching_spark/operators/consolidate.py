@@ -76,29 +76,28 @@ def consolidate_clusters(
 
 def match_statistics(assigned: DataFrame, edges: DataFrame) -> DataFrame:
     """Headline metrics row: pages, clusters, duplicate pages, match rate,
-    edge counts by type (reference A4 semantics over the graft domain)."""
-    # one aggregation job for both counts (count + exact distinct) —
-    # two separate eager actions were pure fixed-cost at every scale
-    row = assigned.agg(
+    edge counts by type (reference A4 semantics over the graft domain).
+
+    Fully LAZY: one plan (two 1-row aggregates crossJoined) that costs
+    zero jobs until the caller consumes it — a pipeline run whose stats
+    are never read pays nothing, and a consumer triggers exactly ONE
+    action (the previous eager form ran two collects inside every
+    ``run_pipeline``, pure fixed cost in the scaling decomposition)."""
+    a = assigned.agg(
         F.count("*").alias("_n"), F.countDistinct("cluster_id").alias("_c")
-    ).collect()[0]
-    n_pages, n_clusters = int(row["_n"]), int(row["_c"])
-    by_type = {
-        r["match_type"]: r["n"]
-        for r in edges.groupBy("match_type").agg(F.count("*").alias("n")).collect()
-    }
-    dup_pages = n_pages - n_clusters
-    spark = assigned.sparkSession
-    # literal projection over range(1) → JVM LocalRelation; a local-list
-    # createDataFrame would take the RDD/pickle path and run a Python
-    # worker job per evaluation of this 1-row frame
-    return spark.range(1).select(
-        F.lit(n_pages).cast("long").alias("n_pages"),
-        F.lit(n_clusters).cast("long").alias("n_clusters"),
-        F.lit(dup_pages).cast("long").alias("n_duplicate_pages"),
-        F.lit(
-            round(dup_pages / n_pages * 100.0, 2) if n_pages else 0.0
-        ).cast("double").alias("duplicate_rate_pct"),
-        F.lit(int(by_type.get("exact", 0))).cast("long").alias("n_exact_edges"),
-        F.lit(int(by_type.get("fuzzy", 0))).cast("long").alias("n_fuzzy_edges"),
+    )
+    e = edges.agg(
+        F.sum((F.col("match_type") == "exact").cast("long")).alias("_e"),
+        F.sum((F.col("match_type") == "fuzzy").cast("long")).alias("_f"),
+    )
+    dup = F.col("_n") - F.col("_c")
+    return a.crossJoin(e).select(
+        F.col("_n").alias("n_pages"),
+        F.col("_c").alias("n_clusters"),
+        dup.alias("n_duplicate_pages"),
+        F.when(F.col("_n") > 0, F.round(dup / F.col("_n") * 100.0, 2))
+        .otherwise(F.lit(0.0))
+        .alias("duplicate_rate_pct"),
+        F.coalesce(F.col("_e"), F.lit(0)).alias("n_exact_edges"),
+        F.coalesce(F.col("_f"), F.lit(0)).alias("n_fuzzy_edges"),
     )
