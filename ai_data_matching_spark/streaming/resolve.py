@@ -1,0 +1,90 @@
+"""Continuous entity resolution: stream drops → incremental fold.
+
+Ties the streaming front half to the batch-incremental back half: each
+micro-batch of new pages is folded into the committed entity state via
+``operators.incremental.run_incremental`` inside ``foreachBatch`` — the
+standard Structured Streaming shape for sinks that need full batch
+semantics (multi-stage joins + CC are not expressible as a streaming
+plan; per-batch they are exactly the incremental ER job).
+
+Consistency story, end to end:
+
+* **exactly-once over files** — the stream checkpoint makes each drop
+  file processed in exactly one epoch.
+* **per-epoch resumability** — the fold commits ``blocked/edges/labels``
+  snapshots under a fingerprint derived from (cfg, epoch, prior), so a
+  kill mid-epoch resumes that epoch's completed stages on retry.
+* **retry idempotence** — if an epoch's snapshots committed but the
+  STREAM checkpoint didn't (crash in between), the replayed epoch chains
+  onto its own committed state; the monotone edge merge dedups (src,
+  dst) pairs, so folding the same batch twice yields identical clusters.
+* **restart chaining** — the chain head is recovered from the snapshot
+  manifest (last committed ``labels``), never from driver memory.
+
+The first epoch bootstraps: with no committed state yet it runs the full
+pipeline (committed under the config fingerprint), and later epochs fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..operators.incremental import run_incremental
+from ..pipeline import PipelineConfig, run_pipeline
+from ..sources.tables import TableIO
+from .ingest import read_page_stream
+
+
+def latest_state_fingerprint(io: TableIO) -> str | None:
+    """Fingerprint of the most recent COMPLETE resolution state: ``labels``
+    is the last stage a (base or incremental) run commits, so its newest
+    manifest record identifies the chain head."""
+    for rec in reversed(io._read_manifest()):
+        if rec["stage"] == "labels":
+            return rec["fingerprint"]
+    return None
+
+
+def resolve_stream(
+    spark: SparkSession,
+    input_dir: str,
+    io: TableIO,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    available_now: bool = True,
+    processing_time: str = "30 seconds",
+):
+    """Start the continuous-resolution stream over a drop folder.
+
+    With ``available_now`` (the batch-drain form used by tests and
+    backfills) the call blocks until all pending files are folded and
+    returns the stopped query; otherwise returns the running query.
+    """
+    cfg = cfg or PipelineConfig()
+
+    def fold(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prior = latest_state_fingerprint(io)
+        if prior is None:
+            run_pipeline(spark, batch_df, io=io, cfg=cfg)
+        else:
+            run_incremental(
+                spark,
+                batch_df,
+                io,
+                batch_id=f"epoch-{epoch_id}",
+                cfg=cfg,
+                prior_fingerprint=prior,
+            )
+
+    writer = (
+        read_page_stream(spark, input_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime=processing_time).start()
