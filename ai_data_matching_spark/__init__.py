@@ -12,8 +12,12 @@ Spark DataFrame pipeline over Common-Crawl-style web pages:
   connected components                                    [operators.clustering]
 * entity rollups mirroring the reference's consolidation   [operators.consolidate]
 * training-data-pipeline extras: dedup (exact / MinHash-LSH / SimHash /
-  n-gram Jaccard / embedding cosine), ANN similarity search, text analysis,
-  multimodal binary plumbing                               [operators.*]
+  n-gram Jaccard / embedding cosine), ANN similarity search (brute force /
+  LSH / IVF), text analysis, multimodal binary plumbing    [operators.*]
+* incremental ER — fold new-page batches into a committed run
+  without rescoring old-old pairs                          [operators.incremental]
+* continuous ER — drop-folder stream → foreachBatch incremental fold,
+  restart-chained through the snapshot manifest            [streaming.resolve]
 
 All heavy work is DataFrame/SQL (Catalyst + whole-stage codegen); Python
 appears only inside Arrow-batched pandas UDFs.
