@@ -263,7 +263,7 @@ _EXTRACT_SKETCH_SCHEMA = T.StructType(
 )
 
 
-def make_extract_sketch_udf(shingle_k: int = 3):
+def make_extract_sketch_udf(shingle_k: int = 3, minhash_k: int | None = None):
     """Fully-fused html → (extracted_text, norm_text, simhash, minhash_sig)
     in ONE Arrow round trip.
 
@@ -275,13 +275,16 @@ def make_extract_sketch_udf(shingle_k: int = 3):
     uses this fused kernel instead. Values are IDENTICAL to the staged
     form (same extract/normalize/sketch kernels; parity-tested).
     """
-    from .functions.sketches import sketch_batch
+    from .functions.sketches import MINHASH_K, sketch_batch
+
+    if minhash_k is None:
+        minhash_k = MINHASH_K
 
     @F.pandas_udf(_EXTRACT_SKETCH_SCHEMA)
     def _fused(html: pd.Series) -> pd.DataFrame:
         ex = html.map(extract_text_py)
         nm = ex.map(normalize_name_py)
-        sims, sigs = sketch_batch(nm.tolist(), shingle_k)
+        sims, sigs = sketch_batch(nm.tolist(), shingle_k, minhash_k)
         return pd.DataFrame(
             {
                 "extracted_text": ex,

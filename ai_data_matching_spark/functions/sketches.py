@@ -36,8 +36,18 @@ from pyspark.sql import types as T
 MINHASH_K = 16
 _SPLITMIX_1 = np.uint64(0xBF58476D1CE4E5B9)
 _SPLITMIX_2 = np.uint64(0x94D049BB133111EB)
-_SEEDS = np.arange(1, MINHASH_K + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 _U64 = np.uint64
+
+
+def _seeds(minhash_k: int) -> np.ndarray:
+    """Universal-hash seeds for a k-row signature. The first MINHASH_K
+    seeds of any longer family are identical (seed_i depends only on i),
+    so signatures of different k agree on their common prefix."""
+    return np.arange(1, minhash_k + 1, dtype=np.uint64) * _GOLDEN
+
+
+_SEEDS = _seeds(MINHASH_K)
 
 
 def _splitmix(x: np.ndarray) -> np.ndarray:
@@ -84,11 +94,14 @@ def _doc_shingle_hashes(text: str, k: int) -> np.ndarray:
     return _shingle_hashes(hw, k)
 
 
-def simhash_minhash_py(text: str, k: int = 3) -> tuple[int, list[int]]:
+def simhash_minhash_py(
+    text: str, k: int = 3, minhash_k: int = MINHASH_K
+) -> tuple[int, list[int]]:
     """Scalar twin (tests + synth oracles) — same values as the batch UDF."""
+    seeds = _SEEDS if minhash_k == MINHASH_K else _seeds(minhash_k)
     h = _doc_shingle_hashes(text, k)
     if h.size == 0:
-        return 0, [0] * MINHASH_K
+        return 0, [0] * minhash_k
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & _U64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
     sim = int(
@@ -96,12 +109,12 @@ def simhash_minhash_py(text: str, k: int = 3) -> tuple[int, list[int]]:
             np.where(votes > 0, _U64(1) << np.arange(64, dtype=np.uint64), _U64(0))
         )
     )
-    sig = _splitmix(h[:, None] ^ _SEEDS[None, :]).min(axis=0)
+    sig = _splitmix(h[:, None] ^ seeds[None, :]).min(axis=0)
     return np.int64(np.uint64(sim)).item(), [np.int64(v).item() for v in sig]
 
 
 def _segmented_sketches(
-    s_all: np.ndarray, starts: np.ndarray, cnt: np.ndarray
+    s_all: np.ndarray, starts: np.ndarray, cnt: np.ndarray, seeds: np.ndarray = _SEEDS
 ) -> tuple[np.ndarray, np.ndarray]:
     """(simhash, minhash sig) per segment of the flat shingle-hash array.
 
@@ -111,9 +124,9 @@ def _segmented_sketches(
     larger and collapse on memory-bandwidth-starved hosts (measured 6-30×
     slower for the matrix form on this sandbox).
     """
-    sigs = np.empty((cnt.size, MINHASH_K), dtype=np.uint64)
-    for i in range(MINHASH_K):
-        sigs[:, i] = np.minimum.reduceat(_splitmix(s_all ^ _SEEDS[i]), starts)
+    sigs = np.empty((cnt.size, seeds.size), dtype=np.uint64)
+    for i in range(seeds.size):
+        sigs[:, i] = np.minimum.reduceat(_splitmix(s_all ^ seeds[i]), starts)
     # simhash bit b is 1 iff (#shingles with bit b set)·2 > #shingles
     sims = np.zeros(cnt.size, dtype=np.uint64)
     one = _U64(1)
@@ -124,7 +137,9 @@ def _segmented_sketches(
     return sims, sigs
 
 
-def sketch_batch(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+def sketch_batch(
+    texts: list[str], k: int = 3, minhash_k: int = MINHASH_K
+) -> tuple[np.ndarray, np.ndarray]:
     """Batch sketches: returns (simhash int64 (n,), minhash int64 (n, K)).
 
     Empty docs sketch to (0, [0]*K). The only per-word Python is one
@@ -133,9 +148,10 @@ def sketch_batch(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     pays hashing once per vocab entry); shingle windows, doc-boundary
     masking, and the segmented sketch reductions are flat numpy.
     """
+    seeds = _SEEDS if minhash_k == MINHASH_K else _seeds(minhash_k)
     n_docs = len(texts)
     sims = np.zeros(n_docs, dtype=np.uint64)
-    sigs = np.zeros((n_docs, MINHASH_K), dtype=np.uint64)
+    sigs = np.zeros((n_docs, minhash_k), dtype=np.uint64)
     if n_docs == 0:
         return sims.astype(np.int64), sigs.astype(np.int64)
 
@@ -169,7 +185,7 @@ def sketch_batch(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
         cnt = wcounts[full] - k + 1
         starts = np.zeros(cnt.size, dtype=np.int64)
         np.cumsum(cnt[:-1], out=starts[1:])
-        f_sims, f_sigs = _segmented_sketches(s_all, starts, cnt)
+        f_sims, f_sigs = _segmented_sketches(s_all, starts, cnt, seeds)
         fidx = np.nonzero(full)[0]
         sims[fidx] = f_sims
         sigs[fidx] = f_sigs
@@ -185,7 +201,7 @@ def sketch_batch(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
         for i, d in enumerate(sidx):
             s_short[i] = _shingle_hashes(hw[woff[d] : woff[d + 1]], k)[0]
         sims[sidx] = s_short
-        sigs[sidx] = _splitmix(s_short[:, None] ^ _SEEDS[None, :])
+        sigs[sidx] = _splitmix(s_short[:, None] ^ seeds[None, :])
 
     return sims.astype(np.int64), sigs.astype(np.int64)
 
@@ -198,10 +214,10 @@ _SKETCH_SCHEMA = T.StructType(
 )
 
 
-def make_sketch_udf(k: int = 3):
+def make_sketch_udf(k: int = 3, minhash_k: int = MINHASH_K):
     @F.pandas_udf(_SKETCH_SCHEMA)
     def _sketch(text: pd.Series) -> pd.DataFrame:
-        sims, sigs = sketch_batch(text.fillna("").tolist(), k)
+        sims, sigs = sketch_batch(text.fillna("").tolist(), k, minhash_k)
         return pd.DataFrame(
             {"simhash": pd.Series(sims, dtype="int64"), "minhash_sig": list(sigs)}
         )

@@ -63,11 +63,11 @@ def with_blocking_keys(
     False for the pure-SQL path (no Python workers needed).
     """
     if fast_sketches:
-        from ..functions.sketches import sketch_udf
+        from ..functions.sketches import make_sketch_udf
 
         df = (
             pages.withColumn("norm_domain", normalized_domain_col(F.col(url_col)))
-            .withColumn("_sk", sketch_udf(F.col(text_col)))
+            .withColumn("_sk", make_sketch_udf(3, minhash_k)(F.col(text_col)))
             .withColumn("simhash", F.col("_sk.simhash"))
             .withColumn("minhash_sig", F.col("_sk.minhash_sig"))
             .drop("_sk")
@@ -98,6 +98,7 @@ def with_extract_sketch_keys(
     drop_cols: tuple[str, ...] = ("text",),
     n_simhash_bands: int = 4,
     shingle_k: int = 3,
+    minhash_k: int | None = None,
 ) -> DataFrame:
     """Fused stage 1+2: html → extract → normalize → sketch → blocking keys
     with ONE Arrow round trip (extract.make_extract_sketch_udf) — the
@@ -106,7 +107,7 @@ def with_extract_sketch_keys(
     columns (order included), so both paths are interchangeable."""
     from ..extract import make_extract_sketch_udf
 
-    fused = make_extract_sketch_udf(shingle_k)
+    fused = make_extract_sketch_udf(shingle_k, minhash_k)
     out = pages.withColumn("_f", fused(F.col(html_col))).withColumn(
         "norm_domain", normalized_domain_col(F.col(url_col))
     )

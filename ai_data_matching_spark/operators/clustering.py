@@ -169,16 +169,21 @@ def connected_components(
 
     slim = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     if small_graph_threshold:
-        # ONE gating job: collect at most threshold+1 edges. If the limit
-        # was not hit, the collected table IS the complete edge set — the
-        # driver path needs no second pass, no persist build, no count
-        # job (each was a full upstream materialization or a serial
-        # barrier in the Amdahl decomposition). If the limit WAS hit, the
-        # graph is big and the ~threshold-row probe is noise next to the
-        # iterative rounds it precedes.
-        head = slim.limit(small_graph_threshold + 1).toArrow()
-        if head.num_rows <= small_graph_threshold:
-            return _union_find_arrow(head, edges.sparkSession), 0
+        # Gate with a limit-BOUNDED count: the probe materializes at most
+        # threshold+1 rows on the executors and ships ONE number to the
+        # driver — a big graph costs the driver nothing (an earlier
+        # one-job form collected up to threshold+1 url-string pairs, i.e.
+        # hundreds of MB of driver Arrow, then discarded them on the big
+        # path). The price is a second scan on the SMALL path to fetch the
+        # actual edge strings — cheap by construction (≤ threshold rows,
+        # and `edges` is a committed snapshot / tracked persist in every
+        # pipeline caller, so the rescan reads cache, not lineage).
+        # Driver memory on the small path is bounded by
+        # small_graph_threshold × (2 urls ≈ 130 B) ≈ 260 MB at the 2M
+        # default — size the threshold to the driver when overriding.
+        probe_n = slim.limit(small_graph_threshold + 1).count()
+        if probe_n <= small_graph_threshold:
+            return _union_find_arrow(slim.toArrow(), edges.sparkSession), 0
     cur = checkpoint_fn(slim, 0)
     prev_fp = _fingerprint(cur)
     iterations = 0

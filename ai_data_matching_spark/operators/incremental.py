@@ -189,7 +189,8 @@ def run_incremental(
     per stage and the next batch can chain on it.
     """
     cfg = cfg or PipelineConfig()
-    base_fp = prior_fingerprint or config_fingerprint(asdict(cfg))
+    cfg_fp = config_fingerprint(asdict(cfg))
+    base_fp = prior_fingerprint or cfg_fp
     fp = config_fingerprint({"cfg": asdict(cfg), "batch": batch_id, "prior": base_fp})
     resumed: list[str] = []
 
@@ -204,16 +205,35 @@ def run_incremental(
     prior_edges = io.read_snapshot(spark, prior_edges_rec)
 
     def stage(name: str, compute) -> DataFrame:
-        df, was_resumed = io.read_or_compute(spark, name, fp, compute)
+        df, was_resumed = io.read_or_compute(
+            spark, name, fp, compute, extra={"cfg_fp": cfg_fp}
+        )
         if was_resumed:
             resumed.append(name)
         return df
 
-    # batch sketching: same fused kernel + key derivation as the pipeline
+    # batch sketching: same fused kernel + key derivation as the pipeline.
+    # urls already in the committed state are dropped (left_anti) BEFORE
+    # sketching, and within-batch url duplicates collapse to one
+    # deterministic row — so a replayed epoch (crash between the snapshot
+    # manifest commit and the stream checkpoint commit) or a re-crawled
+    # page is a true no-op in state: assigned/clusters/match_statistics
+    # never double-count, matching the retry-idempotence contract in
+    # streaming/resolve.py.
     def _blocked_union() -> DataFrame:
+        fresh = new_pages.join(prior_blocked.select("url"), "url", "left_anti")
         batch = with_extract_sketch_keys(
-            new_pages, n_simhash_bands=cfg.n_simhash_bands
+            fresh, n_simhash_bands=cfg.n_simhash_bands, minhash_k=cfg.minhash_k
         ).select(*BLOCKED_COLS)
+        # within-batch dedup by url: max(struct(rest)) is a deterministic
+        # pick (latest warc_ts wins; every BLOCKED_COL type is orderable),
+        # unlike dropDuplicates' partition-order-dependent row choice
+        rest = [c for c in BLOCKED_COLS if c != "url"]
+        batch = (
+            batch.groupBy("url")
+            .agg(F.max(F.struct(*rest)).alias("_m"))
+            .select("url", *[F.col(f"_m.{c}").alias(c) for c in rest])
+        )
         return prior_blocked.withColumn("_is_new", F.lit(False)).unionByName(
             batch.withColumn("_is_new", F.lit(True))
         )
@@ -239,11 +259,23 @@ def run_incremental(
         # prior edges are never retracted (monotone contract). The same
         # (src, dst) can recur — e.g. a prior fuzzy edge now re-emitted
         # as an exact star edge for a touched group — so merge by max
-        # (score, match_type) struct: deterministic, exact (1.0) wins
+        # struct. The explicit numeric type rank breaks score ties in
+        # favor of 'exact': a bare (score, match_type) struct would rank
+        # 'fuzzy' > 'exact' lexicographically, so a fuzzy edge scoring
+        # exactly 1.0 would relabel a recurring exact edge and drift
+        # n_exact/n_fuzzy stats from the full-recompute labeling.
         merged = prior_edges.unionByName(new_edges)
         return (
             merged.groupBy("src", "dst")
-            .agg(F.max(F.struct("score", "match_type")).alias("_m"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score"),
+                        (F.col("match_type") == "exact").cast("int").alias("_rk"),
+                        F.col("match_type"),
+                    )
+                ).alias("_m")
+            )
             .select(
                 "src",
                 "dst",

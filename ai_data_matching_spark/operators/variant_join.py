@@ -20,8 +20,17 @@ Shape: explode variants on both sides → equi-join on the variant string
 10⁶ build rows would funnel every joined row for each probing record into
 ONE window partition's sort, while ``min`` gets map-side partial
 aggregation — each shuffle task reduces its slice to one candidate row per
-probe before the exchange. Hot variants should additionally be capped
-upstream the same way as `blocking.hot_keys`.
+probe before the exchange.
+
+That argmin bounds the OUTPUT, not the join itself: a stop-word-like
+variant shared by 10⁶ build rows still emits 10⁶ joined rows per probing
+record before the aggregate. ``max_bucket_size`` caps it the same way as
+``blocking.hot_keys`` / ``dedup.max_posting_size``: a frequency scan over
+build-side variants excludes buckets above the cap from the join and
+reports them as an overflow frame — dropped coverage is visible, never
+silent. (Semantically a capped variant behaves as if it had no bucket, so
+probes fall through to their next-priority variant — mirroring how the
+reference's dict lookup would behave if the hot bucket were absent.)
 """
 
 from __future__ import annotations
@@ -53,19 +62,36 @@ def exact_match_via_variants(
     probe_name: str,
     build_name: str,
     build_order: Column | None = None,
-) -> DataFrame:
+    max_bucket_size: int | None = None,
+    return_overflow: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """One row per matched probe record: (probe_id, build_id, match_variant,
     probe_priority, score=1.0, match_type='exact').
 
     ``build_order`` is the "client row order" tiebreaker (defaults to the
     build id itself — pass an explicit row-number column to reproduce a
-    specific input ordering)."""
+    specific input ordering).
+
+    ``max_bucket_size`` excludes build-side variant buckets larger than
+    the cap from the join (hot-variant skew split — see module docstring);
+    with ``return_overflow`` the excluded ``(variant, bucket_size)`` frame
+    is returned alongside the matches for metric persistence."""
     pv = _exploded_variants(probe, probe_id, probe_name, "probe")
     bv = _exploded_variants(build, build_id, build_name, "build")
     # the reference's lookup only indexes variants with len >= 3
     bv = bv.filter(F.length("variant") >= MIN_MATCH_LENGTH).withColumn(
         "_border", build_order if build_order is not None else F.col("build_id")
     )
+    overflow = None
+    if max_bucket_size is not None:
+        # map-side-combined (variant, count) scan — one cheap shuffle of
+        # partial counts, same pattern as blocking.hot_keys
+        overflow = (
+            bv.groupBy("variant")
+            .agg(F.count("*").alias("bucket_size"))
+            .filter(F.col("bucket_size") > max_bucket_size)
+        )
+        bv = bv.join(F.broadcast(overflow.select("variant")), "variant", "left_anti")
     j = pv.join(bv, "variant")
     # struct comparison is lexicographic by field order ⇒ min() realises the
     # total order (probe_priority, _border, build_id, variant); the trailing
@@ -76,7 +102,7 @@ def exact_match_via_variants(
             F.struct("probe_priority", "_border", "build_id", "variant")
         ).alias("_best")
     )
-    return best.select(
+    out = best.select(
         "probe_id",
         F.col("_best.build_id").alias("build_id"),
         F.col("_best.variant").alias("match_variant"),
@@ -84,3 +110,10 @@ def exact_match_via_variants(
         F.lit(1.0).alias("score"),
         F.lit("exact").alias("match_type"),
     )
+    if return_overflow:
+        if overflow is None:
+            overflow = pv.sparkSession.createDataFrame(
+                [], "variant string, bucket_size long"
+            )
+        return out, overflow
+    return out

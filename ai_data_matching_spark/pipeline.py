@@ -84,7 +84,12 @@ def run_pipeline(
             from .cache import persist_tracked
 
             return persist_tracked(compute())
-        df, was_resumed = io.read_or_compute(spark, name, fp, compute)
+        # cfg_fp rides in the manifest record so a restarted stream can
+        # verify it is chaining onto state committed under the SAME config
+        # (streaming.resolve.latest_state_fingerprint fails loudly on drift)
+        df, was_resumed = io.read_or_compute(
+            spark, name, fp, compute, extra={"cfg_fp": fp}
+        )
         if was_resumed:
             resumed.append(name)
         return df
@@ -115,7 +120,7 @@ def run_pipeline(
         blocked = stage(
             "blocked",
             lambda: with_extract_sketch_keys(
-                pages, n_simhash_bands=cfg.n_simhash_bands
+                pages, n_simhash_bands=cfg.n_simhash_bands, minhash_k=cfg.minhash_k
             ),
         )
         # column-pruned view of the same cache for final assignment —

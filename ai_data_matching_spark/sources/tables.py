@@ -73,11 +73,15 @@ class TableIO:
         return None
 
     # -- commit / read -----------------------------------------------------
-    def commit(self, df: DataFrame, stage: str, fingerprint: str) -> DataFrame:
+    def commit(
+        self, df: DataFrame, stage: str, fingerprint: str, extra: dict | None = None
+    ) -> DataFrame:
         """Write a stage output as a new snapshot with per-partition lineage,
         then publish it in the manifest. Returns the re-read (committed)
         frame so downstream stages read from stable storage — this also
-        cuts lineage like a checkpoint."""
+        cuts lineage like a checkpoint. ``extra`` merges additional fields
+        into the manifest record (e.g. ``cfg_fp``, the config fingerprint a
+        restarted stream validates before chaining onto this state)."""
         snapshot_id = uuid.uuid4().hex[:12]
         snap_dir = os.path.join(self.root, stage, snapshot_id)
         data_path = os.path.join(snap_dir, "data.parquet")
@@ -104,6 +108,7 @@ class TableIO:
                 "n_partitions": n_parts,
                 "committed_at": time.time(),
                 "path": data_path,
+                **(extra or {}),
             }
         )
         return committed
@@ -118,6 +123,7 @@ class TableIO:
         fingerprint: str,
         compute,
         force: bool = False,
+        extra: dict | None = None,
     ) -> tuple[DataFrame, bool]:
         """Resume probe: return (df, was_resumed). ``compute`` is a thunk
         producing the stage DataFrame; it is only invoked when no committed
@@ -126,7 +132,7 @@ class TableIO:
             rec = self.last_committed(stage, fingerprint)
             if rec is not None:
                 return self.read_snapshot(spark, rec), True
-        return self.commit(compute(), stage, fingerprint), False
+        return self.commit(compute(), stage, fingerprint, extra=extra), False
 
     def write_metric(self, df: DataFrame, stage: str, name: str) -> None:
         path = os.path.join(self.root, "_metrics", stage, name)

@@ -27,20 +27,43 @@ pipeline (committed under the config fingerprint), and later epochs fold.
 
 from __future__ import annotations
 
+from dataclasses import asdict
+
 from pyspark.sql import SparkSession
 
 from ..operators.incremental import run_incremental
 from ..pipeline import PipelineConfig, run_pipeline
-from ..sources.tables import TableIO
+from ..sources.tables import TableIO, config_fingerprint
 from .ingest import read_page_stream
 
 
-def latest_state_fingerprint(io: TableIO) -> str | None:
+def latest_state_fingerprint(io: TableIO, expect_cfg_fp: str | None = None) -> str | None:
     """Fingerprint of the most recent COMPLETE resolution state: ``labels``
     is the last stage a (base or incremental) run commits, so its newest
-    manifest record identifies the chain head."""
+    manifest record identifies the chain head.
+
+    ``expect_cfg_fp`` validates the chain head against the CURRENT config:
+    a restarted stream with a changed PipelineConfig must not silently fold
+    new epochs onto state committed under different thresholds/caps — that
+    would mix two configs within one resolved state. Commit records carry
+    ``cfg_fp`` (tables.commit extra); a mismatch raises. Records from
+    before cfg_fp existed can't be validated and pass through.
+    """
     for rec in reversed(io._read_manifest()):
         if rec["stage"] == "labels":
+            rec_cfg = rec.get("cfg_fp")
+            if (
+                expect_cfg_fp is not None
+                and rec_cfg is not None
+                and rec_cfg != expect_cfg_fp
+            ):
+                raise ValueError(
+                    f"committed state {rec['fingerprint']} was resolved under "
+                    f"config {rec_cfg}, but the stream is configured with "
+                    f"{expect_cfg_fp}; refusing to chain incompatible configs. "
+                    "Re-run the base pipeline under the new config (fresh "
+                    "state) or restart the stream with the original config."
+                )
             return rec["fingerprint"]
     return None
 
@@ -61,11 +84,12 @@ def resolve_stream(
     returns the stopped query; otherwise returns the running query.
     """
     cfg = cfg or PipelineConfig()
+    cfg_fp = config_fingerprint(asdict(cfg))
 
     def fold(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        prior = latest_state_fingerprint(io)
+        prior = latest_state_fingerprint(io, expect_cfg_fp=cfg_fp)
         if prior is None:
             run_pipeline(spark, batch_df, io=io, cfg=cfg)
         else:

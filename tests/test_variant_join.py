@@ -39,3 +39,36 @@ def test_short_names_never_match(spark):
     probe = spark.createDataFrame([(1, "ab")], "pid long, name string")
     build = spark.createDataFrame([(2, "ab")], "bid long, name string")
     assert exact_match_via_variants(probe, build, "pid", "bid", "name", "name").count() == 0
+
+
+def test_hot_variant_cap_bounds_join(spark):
+    """A stop-word-like variant shared by 10⁴ build rows must be skew-split
+    out of the join: probes relying only on the hot variant go unmatched,
+    probes with a cold variant still match, and the overflow frame reports
+    the excluded bucket with its size."""
+    n_hot = 10_000
+    build = spark.createDataFrame(
+        [(i, "Common Name") for i in range(n_hot)] + [(n_hot, "Rare Name")],
+        "bid long, name string",
+    )
+    probe = spark.createDataFrame(
+        [(1, "Common Name"), (2, "Rare Name")], "pid long, name string"
+    )
+    got, overflow = exact_match_via_variants(
+        probe, build, "pid", "bid", "name", "name",
+        max_bucket_size=100, return_overflow=True,
+    )
+    rows = {r["probe_id"]: r for r in got.collect()}
+    assert 1 not in rows                      # hot bucket excluded → no match
+    assert rows[2]["build_id"] == n_hot       # cold bucket still matches
+    ov = {r["variant"]: r["bucket_size"] for r in overflow.collect()}
+    # the hot name's variant bucket blows the cap and is reported (the
+    # normalized slot equals lower(raw) so only the original slot exists)
+    assert ov == {"Common Name": n_hot}
+
+    # and the bounded-join claim itself: with the cap, the pre-aggregate
+    # join emits only cold-bucket rows (2 variants of one rare build row
+    # joined by one probe = ≤ a handful), never the 2×10⁴ hot rows
+    uncapped = exact_match_via_variants(probe, build, "pid", "bid", "name", "name")
+    assert uncapped.count() == 2              # argmin still bounds OUTPUT rows
+    assert got.count() == 1
