@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -342,13 +343,45 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_mm_binary_meta(spark, sf_dir):
+    """Multimodal: binary payload metadata + REAL PNG pixel decode.
+
+    Each doc gets a deterministic synthetic PNG (stdlib encoder; dims and
+    every pixel value are closed-form functions of doc_id, scanline
+    filters cycle through all five PNG filter types), which the stdlib
+    decoder (functions/png.py: zlib inflate + unfilter) decodes inside
+    ``extract_image_stats``'s mapInPandas. The DuckDB oracle recomputes
+    width/height/pixel_sum from the SAME closed form via lateral
+    generate_series — so a bug anywhere in encode OR decode (structure,
+    filters, pixel order) breaks the value hash."""
+    from ai_data_matching_spark.functions.png import encode_png
+    from ai_data_matching_spark.operators.multimodal import extract_image_stats
+
     d = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def make_png(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id:
+            did = int(did)
+            w, h = 4 + did % 5, 3 + did % 7
+            px = bytes(
+                (did * 7919 + y * 131 + x * 17 + c * 59) % 256
+                for y in range(h) for x in range(w) for c in range(3)
+            )
+            out.append(encode_png(w, h, px, 3))
+        return pd.Series(out)
+
+    media = d.select("doc_id", make_png(F.col("doc_id")).alias("payload"))
+    stats = extract_image_stats(media, id_col="doc_id", payload_col="payload").select(
+        F.col("id").alias("doc_id"), "width", "height", "pixel_sum"
+    )
     payload = F.encode(F.col("text"), "UTF-8")
-    return d.select(
+    base = d.select(
         "doc_id",
         F.length(payload).cast("long").alias("n_bytes"),
         F.hex(F.encode(F.substring(F.col("text"), 1, 4), "UTF-8")).alias("magic_hex"),
     )
+    return base.join(stats, "doc_id")
 
 
 def q_q1_pricing_summary(spark, sf_dir):
@@ -650,6 +683,33 @@ def q_o1_global_sort_topk(spark, sf_dir):
     )
 
 
+def q_charts_top_relationships(spark, sf_dir):
+    """Chart data — top-20 relationships by value (reference
+    charts.py:10-27): per-customer order value, named via broadcast dim,
+    ranked top-N through TakeOrderedAndProject + post-limit window."""
+    from ai_data_matching_spark.operators.charts import top_relationships_data
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_value")
+    )
+    j = per_cust.join(
+        F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"]
+    ).select("c_name", "total_value")
+    return top_relationships_data(j, "total_value", "c_name", top_n=20)
+
+
+def q_charts_score_distribution(spark, sf_dir):
+    """Chart data — match-score distribution buckets over the exact∪fuzzy
+    edge union (reference charts.py:300-320 match-quality panel)."""
+    from ai_data_matching_spark.operators.charts import score_distribution
+
+    exact = q_j1_exact_block_join(spark, sf_dir).select(F.lit(1.0).alias("score"))
+    fuzzy = q_j3_fuzzy_scored_pairs(spark, sf_dir).select(F.col("lev_sim").alias("score"))
+    return score_distribution(exact.unionByName(fuzzy), "score", 0.05)
+
+
 def q_u3_distinct_pairs(spark, sf_dir):
     """U3: set dedup (matching_engine.py:79) as dropDuplicates."""
     d = _t(spark, sf_dir, "documents")
@@ -790,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_blocking_variants": q_p2_variants,
         "u3_distinct_pairs": q_u3_distinct_pairs,
         "q5_regional_revenue": q_q5_regional_revenue,
+        "charts_top_relationships": q_charts_top_relationships,
+        "charts_score_distribution": q_charts_score_distribution,
         "j1_exact_block_join": q_j1_exact_block_join,
         "j1b_variant_probe_join": q_j1b_variant_probe_join,
         "j2_unmatched_antijoin": q_j2_unmatched_antijoin,
@@ -1122,9 +1184,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM r WHERE rank <= 3
         """,
         "mm_binary_meta": """
-            SELECT doc_id, octet_length(encode(text))::bigint AS n_bytes,
-                   hex(encode(substr(text, 1, 4))) AS magic_hex
-            FROM documents
+            WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+                          FROM documents),
+            px AS (
+              SELECT d.doc_id, d.w, d.h,
+                     sum((d.doc_id * 7919 + yy.y * 131 + xx.x * 17 + cc.c * 59)
+                         % 256)::BIGINT AS pixel_sum
+              FROM dims d,
+                   generate_series(0, 8) AS yy(y),
+                   generate_series(0, 7) AS xx(x),
+                   generate_series(0, 2) AS cc(c)
+              WHERE yy.y < d.h AND xx.x < d.w
+              GROUP BY d.doc_id, d.w, d.h)
+            SELECT t.doc_id, octet_length(encode(t.text))::bigint AS n_bytes,
+                   hex(encode(substr(t.text, 1, 4))) AS magic_hex,
+                   px.w::INT AS width, px.h::INT AS height, px.pixel_sum
+            FROM documents t JOIN px USING (doc_id)
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1326,6 +1401,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "u3_distinct_pairs": """
             SELECT DISTINCT lang, source FROM documents
+        """,
+        "charts_top_relationships": """
+            WITH v AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_value
+                       FROM orders GROUP BY o_custkey),
+            j AS (SELECT c.c_name, v.total_value
+                  FROM v JOIN customer c ON v.o_custkey = c.c_custkey),
+            r AS (SELECT *, row_number() OVER
+                    (ORDER BY total_value DESC, c_name) AS rank FROM j)
+            SELECT c_name, total_value, rank::BIGINT AS rank FROM r WHERE rank <= 20
+        """,
+        "charts_score_distribution": f"""{j1_cte},
+            p1 AS (SELECT 1.0::DOUBLE AS score FROM kc a JOIN kc b
+                     ON a.lang = b.lang AND a.block_key = b.block_key
+                   WHERE a.doc_id < b.doc_id),
+            d3 AS (SELECT doc_id, lang, source,
+                          substr({norm}, 1, 60) AS prefix FROM documents),
+            hot3 AS (SELECT lang, source FROM d3
+                     GROUP BY lang, source HAVING count(*) > {DEMO_BLOCK_CAP}),
+            dc3 AS (SELECT d3.* FROM d3 ANTI JOIN hot3 USING (lang, source)),
+            p3 AS (SELECT round(1.0 - levenshtein(a.prefix, b.prefix)::double
+                         / greatest(length(a.prefix), length(b.prefix), 1), 6) AS score
+                   FROM dc3 a JOIN dc3 b ON a.lang = b.lang AND a.source = b.source
+                   WHERE a.doc_id < b.doc_id
+                     AND round(1.0 - levenshtein(a.prefix, b.prefix)::double
+                         / greatest(length(a.prefix), length(b.prefix), 1), 6) >= 0.3),
+            u AS (SELECT score FROM p1 UNION ALL SELECT score FROM p3),
+            g AS (SELECT round(floor(score / 0.05) * 0.05, 6) AS score_bucket,
+                         count(*) AS n_pairs
+                  FROM u GROUP BY 1)
+            SELECT score_bucket, n_pairs,
+                   round(100.0 * n_pairs / sum(n_pairs) OVER (), 4) AS pct
+            FROM g ORDER BY score_bucket
         """,
         "q5_regional_revenue": """
             SELECT r.r_name, n.n_name,

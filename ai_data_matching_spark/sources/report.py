@@ -2,9 +2,10 @@
 
 Mirrors the reference's export surface (/root/reference/src/
 export_manager.py:11-78): a multi-sheet workbook (Matches / Summary /
-Match Analysis / Top Relationships) and a self-contained HTML report —
+Match Analysis / Top Relationships + the raw-dump sheets Vendor Data /
+Client Data, export_manager.py:66-75) and a self-contained HTML report —
 re-expressed over the graft domain (clusters instead of vendor-client
-relationships).
+relationships; the raw-dump sheets carry the two input sides).
 
 Spark's job ends at a BOUNDED collect (top ``max_rows`` clusters by size
 + the one-row stats frame); everything after is driver-side presentation,
@@ -23,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SHEETS = ["Matches", "Summary", "Match Analysis", "Top Relationships"]
+RAW_SHEETS = ["Vendor Data", "Client Data"]
 
 
 def build_report_frames(
@@ -30,6 +32,8 @@ def build_report_frames(
     stats: DataFrame,
     top_n: int = 20,
     max_rows: int = 10_000,
+    vendor_data: DataFrame | None = None,
+    client_data: DataFrame | None = None,
 ) -> dict[str, pd.DataFrame]:
     """Collect the bounded presentation frames (sheet name → pandas df).
 
@@ -38,7 +42,12 @@ def build_report_frames(
     * Summary — Metric/Value long form of the stats row;
     * Match Analysis — per-match-quality count + page sums (reference's
       match-type breakdown, export_manager.py:40-48);
-    * Top Relationships — top ``top_n`` clusters by size.
+    * Top Relationships — top ``top_n`` clusters by size;
+    * Vendor Data / Client Data — raw dumps of the two input sides when
+      provided (reference export_manager.py:66-75; in the graft domain
+      these are the probe/build page frames), bounded by the same
+      ``max_rows`` and with double columns rounded to 2 like the
+      reference's ``total_value_usd``/``client_spend`` rounding.
     """
     scalar_cols = [c for c in clusters.columns if c != "members"]
     matches = (
@@ -58,12 +67,27 @@ def build_report_frames(
         .reset_index(drop=True)
     )
     top = matches.nlargest(top_n, "n_pages").reset_index(drop=True)
-    return {
+    frames = {
         "Matches": matches,
         "Summary": summary,
         "Match Analysis": analysis,
         "Top Relationships": top,
     }
+
+    def _raw_dump(df: DataFrame) -> pd.DataFrame:
+        rounded = df.select(
+            *[
+                F.round(c, 2).alias(c) if t == "double" else F.col(c)
+                for c, t in df.dtypes
+            ]
+        )
+        return rounded.limit(max_rows).toPandas()
+
+    if vendor_data is not None:
+        frames["Vendor Data"] = _raw_dump(vendor_data)
+    if client_data is not None:
+        frames["Client Data"] = _raw_dump(client_data)
+    return frames
 
 
 def _frame_matrix(df: pd.DataFrame) -> list[list]:

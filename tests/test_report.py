@@ -2,7 +2,10 @@
 
 import os
 
+from pyspark.sql import functions as F
+
 from ai_data_matching_spark.sources.report import (
+    RAW_SHEETS,
     SHEETS,
     build_report_frames,
     export_html,
@@ -35,5 +38,22 @@ def test_report_frames_and_sinks(spark, tmp_path):
 
     html = export_html(frames)
     assert "<h2>Matches</h2>" in html and "n_pages" in html
+
+    # reference sheet parity: Vendor Data / Client Data raw dumps
+    # (export_manager.py:66-75) — bounded, doubles rounded to 2
+    vendor = pages.select("url", "warc_ts", (F.length("html") / 3.0).alias("spend"))
+    client = pages.select("url", "lang")
+    frames6 = build_report_frames(
+        res.clusters, res.stats, top_n=5, max_rows=100,
+        vendor_data=vendor, client_data=client,
+    )
+    assert list(frames6) == SHEETS + RAW_SHEETS
+    assert len(frames6["Vendor Data"]) == 100       # max_rows bound
+    v0 = frames6["Vendor Data"]["spend"].iloc[0]
+    assert round(float(v0), 2) == float(v0)         # reference rounding
+    assert list(frames6["Client Data"].columns) == ["url", "lang"]
+    out6 = export_workbook(frames6, str(tmp_path / "report6.xlsx"))
+    from ai_data_matching_spark.sources.xlsx import read_workbook
+    assert list(read_workbook(out6)) == SHEETS + RAW_SHEETS
     from ai_data_matching_spark.cache import release_persisted
     release_persisted()
