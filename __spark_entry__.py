@@ -456,16 +456,23 @@ def q_p3_extract_numeric(spark, sf_dir):
 
 def q_o2_o4_top_event_first_seen(spark, sf_dir):
     """O2 + O4 — per-group argmax (top event per user) and per-group min
-    (earliest timestamp) in one pass: both are per-user window/agg shapes
-    over the same partitioning, so one shuffle serves both."""
+    (earliest timestamp) in ONE map-side-combined aggregate: the argmax is
+    ``max(struct(value, -event_id))`` (highest value, then lowest event_id
+    — identical to the rank-1 window row) so both operators share a single
+    HashAggregate shuffle instead of a per-group window sort. At scale the
+    partial aggregation reduces each map task's slice to one candidate row
+    per user before the exchange; a window would shuffle every event row."""
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
-    wall = Window.partitionBy("user_id")
+    best = F.max(F.struct(F.col("value"), (-F.col("event_id")).alias("neg_id")))
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .withColumn("first_seen", F.min("ts").over(wall))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", F.round("value", 6).alias("value"), "first_seen")
+        e.groupBy("user_id")
+        .agg(best.alias("_b"), F.min("ts").alias("first_seen"))
+        .select(
+            "user_id",
+            (-F.col("_b.neg_id")).cast("long").alias("event_id"),
+            F.round("_b.value", 6).alias("value"),
+            "first_seen",
+        )
     )
 
 

@@ -194,15 +194,20 @@ def run_incremental(
     fp = config_fingerprint({"cfg": asdict(cfg), "batch": batch_id, "prior": base_fp})
     resumed: list[str] = []
 
-    prior_blocked_rec = io.last_committed("blocked", base_fp)
-    prior_edges_rec = io.last_committed("edges", base_fp)
-    if prior_blocked_rec is None or prior_edges_rec is None:
-        raise ValueError(
-            f"no committed blocked/edges snapshots for fingerprint {base_fp}; "
-            "run the base pipeline with this TableIO first"
-        )
-    prior_blocked = io.read_snapshot(spark, prior_blocked_rec).select(*BLOCKED_COLS)
-    prior_edges = io.read_snapshot(spark, prior_edges_rec)
+    # Prior state is read LAZILY: a stage that resumes from its own
+    # committed snapshot never touches it — so a killed head-batch retry
+    # still resumes after gc() expired the prior fingerprint's snapshots
+    # (retention keeps the chain head, not its ancestry). Only an actual
+    # recompute requires the prior state and fails loudly without it.
+    def _prior(stage_name: str) -> DataFrame:
+        rec = io.last_committed(stage_name, base_fp)
+        if rec is None:
+            raise ValueError(
+                f"no committed {stage_name} snapshot for fingerprint {base_fp}; "
+                "run the base pipeline with this TableIO first (or the prior "
+                "state was gc-expired — a recompute of this batch needs it)"
+            )
+        return io.read_snapshot(spark, rec)
 
     def stage(name: str, compute) -> DataFrame:
         df, was_resumed = io.read_or_compute(
@@ -221,6 +226,7 @@ def run_incremental(
     # never double-count, matching the retry-idempotence contract in
     # streaming/resolve.py.
     def _blocked_union() -> DataFrame:
+        prior_blocked = _prior("blocked").select(*BLOCKED_COLS)
         fresh = new_pages.join(prior_blocked.select("url"), "url", "left_anti")
         batch = with_extract_sketch_keys(
             fresh, n_simhash_bands=cfg.n_simhash_bands, minhash_k=cfg.minhash_k
@@ -241,6 +247,7 @@ def run_incremental(
     blocked = stage("blocked", _blocked_union)
 
     def _edges() -> DataFrame:
+        prior_edges = _prior("edges")
         exact_inc = exact_match_edges_touched(blocked)
         pairs, overflow = incremental_candidate_pairs(
             blocked,

@@ -137,3 +137,48 @@ class TableIO:
     def write_metric(self, df: DataFrame, stage: str, name: str) -> None:
         path = os.path.join(self.root, "_metrics", stage, name)
         df.write.mode("overwrite").parquet(path)
+
+    # -- retention ---------------------------------------------------------
+    def gc(self, keep_last: int = 3) -> dict:
+        """Expire old snapshots: keep the last ``keep_last`` fingerprints
+        (by first-commit order) plus the chain head (the fingerprint of
+        the newest ``labels`` record — what a restarted stream chains on).
+
+        Without retention a continuous-ER deployment grows storage without
+        bound: every epoch commits blocked/edges/labels snapshots forever.
+        Crash-safe ordering: the compacted manifest is PUBLISHED first
+        (atomic os.replace), then dropped snapshot directories are
+        deleted — a crash in between leaves orphan directories (harmless,
+        re-collectable) rather than manifest records pointing at deleted
+        data. Same publish-then-expire discipline as Iceberg's
+        ``expireSnapshots``.
+        """
+        import shutil
+
+        records = self._read_manifest()
+        fps: list[str] = []
+        for rec in records:
+            if rec["fingerprint"] not in fps:
+                fps.append(rec["fingerprint"])
+        head = next(
+            (r["fingerprint"] for r in reversed(records) if r["stage"] == "labels"),
+            None,
+        )
+        keep = set(fps[-keep_last:]) if keep_last > 0 else set()
+        if head is not None:
+            keep.add(head)
+        kept = [r for r in records if r["fingerprint"] in keep]
+        dropped = [r for r in records if r["fingerprint"] not in keep]
+
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(kept, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # publish BEFORE deleting data
+        for rec in dropped:
+            shutil.rmtree(os.path.dirname(rec["path"]), ignore_errors=True)
+        return {
+            "kept_records": len(kept),
+            "dropped_records": len(dropped),
+            "kept_fingerprints": sorted(keep),
+            "chain_head": head,
+        }

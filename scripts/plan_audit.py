@@ -51,10 +51,14 @@ CHECKS = {
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
         "note": "self-join is an equi-join on (lang, block_key), never nested-loop",
     },
-    "o2_top_event_per_user": {
-        "expect": ["WindowGroupLimit"],
-        "forbid": ["BatchEvalPython"],
-        "note": "rank<=1 pushed into WindowGroupLimit (no full sort of all rows per group at once)",
+    "o2_o4_top_event_first_seen": {
+        # struct-typed max buffers aren't UnsafeRow-fixed-width, so Spark
+        # plans SortAggregate — the property that matters at scale is the
+        # partial_max/partial_min BEFORE the exchange (map tasks emit one
+        # row per user), plus no Window shuffle of every event row.
+        "expect": ["partial_max", "partial_min", "Exchange"],
+        "forbid": ["Window", "BatchEvalPython"],
+        "note": "argmax as max(struct) + min in ONE map-side-combined aggregate — partial agg before the exchange; no per-group window over all rows",
     },
     "o1_global_sort_topk": {
         "expect": ["TakeOrderedAndProject"],
@@ -111,7 +115,47 @@ CHECKS = {
         "forbid": ["BatchEvalPython", "CartesianProduct"],
         "note": "IVF list assignment Arrow-batched; candidates via list_id equi-join",
     },
+    "charts_top_relationships": {
+        "expect": ["TakeOrderedAndProject", "BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["BatchEvalPython"],
+        "note": "top-20 via per-partition heaps AFTER map-side-combined agg; name dim broadcast",
+    },
+    "charts_score_distribution": {
+        "expect": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "note": "bucket rollup partial+final; pct window runs over the tiny aggregate only",
+    },
+    "mm_binary_meta": {
+        "expect": ["ArrowEvalPython", "MapInPandas"],
+        "forbid": ["BatchEvalPython", "CartesianProduct"],
+        "note": "PNG encode (pandas UDF) + full decode (mapInPandas) both Arrow-batched; stats join is an equi-join",
+    },
+    "p13_p14_date_currency_fmt": {
+        "expect": ["Project"],
+        "forbid": ["Exchange", "BatchEvalPython"],
+        "note": "pure projection — no shuffle at all; date math + formatting fully codegen'd",
+    },
 }
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit_one(spark, name: str, spec: dict, sf_dir: str) -> tuple[bool, str, str]:
+    """Run one plan check; returns (ok, verdict, plan). Shared by the
+    script and the pytest wrapper (tests/test_plan_audit.py) so the
+    assertions run on every round's test sweep, not just by hand."""
+    df = entry_mod.queries()[name](spark, sf_dir)
+    plan = formatted_plan(df)
+    missing = [e for e in spec["expect"] if e not in plan]
+    present_forbidden = [f for f in spec["forbid"] if f in plan]
+    ok = not missing and not present_forbidden
+    verdict = "PASS" if ok else f"FAIL (missing={missing}, forbidden={present_forbidden})"
+    return ok, verdict, plan
 
 
 def main() -> None:
@@ -132,16 +176,8 @@ def main() -> None:
     n_bad = 0
     details = []
     for name, spec in CHECKS.items():
-        df = qs[name](spark, sf_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
-        missing = [e for e in spec["expect"] if e not in plan]
-        present_forbidden = [f for f in spec["forbid"] if f in plan]
-        ok = not missing and not present_forbidden
+        ok, verdict, plan = audit_one(spark, name, spec, sf_dir)
         n_bad += 0 if ok else 1
-        verdict = "PASS" if ok else f"FAIL (missing={missing}, forbidden={present_forbidden})"
         lines.append(f"| `{name}` | {spec['note']} | {verdict} |")
         details.append((name, plan))
         print(("PASS " if ok else "FAIL ") + name + ("" if ok else f"  {verdict}"))

@@ -79,5 +79,74 @@ def test_incremental_requires_committed_base(spark, pages_small, tmp_path):
     import pytest
 
     io = TableIO(str(tmp_path / "empty"))
-    with pytest.raises(ValueError, match="no committed blocked/edges"):
+    with pytest.raises(ValueError, match="no committed blocked snapshot"):
         run_incremental(spark, pages_small.drop("entity_id"), io, "b1", cfg=CFG)
+
+
+def test_replayed_batch_is_noop_in_state(spark, pages_small, tmp_path):
+    """Stream-crash replay semantics: re-folding an ALREADY-FOLDED batch
+    onto its own committed state (crash after snapshot commit, before the
+    stream checkpoint commit) must not change clusters OR counts — the
+    url anti-join makes the replay a true no-op, so assigned/statistics
+    never double-count (ADVICE r02, incremental.py _blocked_union)."""
+    pages = pages_small.drop("entity_id")
+    base = _split(pages, 3, 0).unionByName(_split(pages, 3, 1))
+    batch = _split(pages, 3, 2)
+
+    io = TableIO(str(tmp_path / "snaps"))
+    run_pipeline(spark, base, io=io, cfg=CFG)
+    inc1 = run_incremental(spark, batch, io, "e1", cfg=CFG)
+    n1 = inc1.assigned.count()
+
+    # replay chains onto inc1's own state (different batch_id = the retry
+    # epoch recomputes rather than resuming)
+    replay = run_incremental(
+        spark, batch, io, "e1-retry", cfg=CFG, prior_fingerprint=inc1.fingerprint
+    )
+    assert replay.assigned.count() == n1
+    assert _partition(replay.assigned) == _partition(inc1.assigned)
+    s1 = inc1.stats.collect()[0].asDict()
+    s2 = replay.stats.collect()[0].asDict()
+    assert s1 == s2
+
+
+def test_gc_compacted_chain_still_resumes(spark, pages_small, tmp_path):
+    """Snapshot retention: gc(keep_last=1) keeps the chain head; a killed
+    re-run of the head batch still resumes from its snapshots, and the
+    next batch still chains — while expired snapshot dirs are gone."""
+    import os
+
+    pages = pages_small.drop("entity_id")
+    base = _split(pages, 4, 0)
+    b1 = _split(pages, 4, 1)
+    b2 = _split(pages, 4, 2)
+    b3 = _split(pages, 4, 3)
+
+    io = TableIO(str(tmp_path / "snaps"))
+    base_res = run_pipeline(spark, base, io=io, cfg=CFG)
+    inc1 = run_incremental(spark, b1, io, "b1", cfg=CFG)
+    inc2 = run_incremental(spark, b2, io, "b2", cfg=CFG, prior_fingerprint=inc1.fingerprint)
+
+    dropped_paths = [
+        rec["path"]
+        for rec in io._read_manifest()
+        if rec["fingerprint"] in (base_res.fingerprint, inc1.fingerprint)
+    ]
+    report = io.gc(keep_last=1)
+    assert report["chain_head"] == inc2.fingerprint
+    assert inc2.fingerprint in report["kept_fingerprints"]
+    assert report["dropped_records"] > 0
+    for p in dropped_paths:
+        assert not os.path.exists(p)
+
+    # head batch re-run resumes entirely from kept snapshots
+    rerun = run_incremental(
+        spark, b2, io, "b2", cfg=CFG, prior_fingerprint=inc1.fingerprint
+    )
+    assert set(rerun.resumed_stages) == {"blocked", "edges", "labels"}
+    assert _partition(rerun.assigned) == _partition(inc2.assigned)
+
+    # and the next batch chains on the compacted head
+    inc3 = run_incremental(spark, b3, io, "b3", cfg=CFG, prior_fingerprint=inc2.fingerprint)
+    full = run_pipeline(spark, pages, cfg=CFG)
+    assert _partition(inc3.assigned) == _partition(full.assigned)
