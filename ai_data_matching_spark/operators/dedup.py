@@ -39,6 +39,37 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.join(reps, id_col, "left_semi")
 
 
+def _verify_jaccard(
+    base: DataFrame, bands: DataFrame, threshold: float, round_to: int | None = None
+) -> DataFrame:
+    """Shared LSH tail: slim (id, bucket) self-join → cross-band pair
+    dedup → attach shingle sets per candidate → exact-Jaccard verify on
+    the UNROUNDED value. ``base`` must be (id, _sh, ...) with one row per
+    doc (persisted by the caller — it feeds the band explode and both
+    payload joins)."""
+    a = bands.select("bucket", F.col("id").alias("id_a"))
+    b = bands.select("bucket", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+    )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(1.0))
+    out = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("_jac", jac)
+        .filter(F.col("_jac") >= threshold)
+    )
+    result = F.round("_jac", round_to) if round_to is not None else F.col("_jac")
+    return out.select("id_a", "id_b", result.alias("jaccard"))
+
+
 def duplicate_pairs_minhash_lsh(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -63,9 +94,15 @@ def duplicate_pairs_minhash_lsh(
         make_sketch_udf(shingle_k)(F.col(text_col))["minhash_sig"].alias("_sig"),
     )
 
+    # Persist ONE row per doc, then band-join on a SLIM (id, bucket)
+    # projection — the earlier shape persisted/shuffled the whole shingle
+    # array once per band (×n_bands bytes through the cache AND both
+    # sides of the bucket join). Shingle sets attach per *candidate pair*
+    # after the cross-band dedup, exactly like blocking.candidate_pairs'
+    # payload join.
+    base = persist_tracked(base)
     bands = base.select(
         "id",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -86,22 +123,7 @@ def duplicate_pairs_minhash_lsh(
             )
         ).alias("bucket"),
     )
-    bands = persist_tracked(bands)  # consumed by both sides of the bucket self-join
-    a = bands.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("_sh").alias("_sh_a"))
-    b = bands.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("_sh").alias("_sh_b"))
-    cand = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = F.size(F.array_union("_sh_a", "_sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(1.0))
-    return (
-        cand.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(base, bands, jaccard_threshold)
 
 
 def duplicate_pairs_minhash_portable(
@@ -123,30 +145,22 @@ def duplicate_pairs_minhash_portable(
     """
     from ..functions import portable as P
 
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        P.portable_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    ).withColumn(
-        "_sig", P.minhash_sig(P.base_hashes(F.col("_sh")), F.size(F.col("_sh")))
-    )
-    bands = persist_tracked(
-        base.select(
-            "id", "_sh", F.explode(P.minhash_band_keys(F.col("_sig"), n_bands)).alias("bucket")
+    # one persisted row per doc; the md5-expression sketch (the pricey
+    # part of the portable family) is computed ONCE, not once per band —
+    # and the band self-join shuffles only (id, bucket), with shingle
+    # sets attached per candidate pair (see _verify_jaccard)
+    base = persist_tracked(
+        docs.select(
+            F.col(id_col).alias("id"),
+            P.portable_shingles(F.col(text_col), shingle_k).alias("_sh"),
+        ).withColumn(
+            "_sig", P.minhash_sig(P.base_hashes(F.col("_sh")), F.size(F.col("_sh")))
         )
     )
-    a = bands.select("bucket", F.col("id").alias("id_a"), F.col("_sh").alias("_sh_a"))
-    b = bands.select("bucket", F.col("id").alias("id_b"), F.col("_sh").alias("_sh_b"))
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = F.size(F.array_union("_sh_a", "_sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(1.0))
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("_jac", jac)
-        .filter(F.col("_jac") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("_jac", 6).alias("jaccard"))
+    bands = base.select(
+        "id", F.explode(P.minhash_band_keys(F.col("_sig"), n_bands)).alias("bucket")
     )
+    return _verify_jaccard(base, bands, jaccard_threshold, round_to=6)
 
 
 def duplicate_pairs_simhash_portable(

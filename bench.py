@@ -20,6 +20,16 @@ Env knobs:
   BENCH_PIPELINE_CPUS   headline pipeline parallelism (default 16)
   BENCH_PAGES           synth corpus size for the pipeline (default 100000)
   BENCH_ONLY            comma-separated subset of query names
+  BENCH_PROBE           0 disables the host-noise probe gate (default on)
+
+Host-noise gate: this sandbox's shared-host memory bandwidth swings
+2-3× on multi-minute windows (BENCH/BASELINE.md record) — r02's driver
+headline (4,990 docs/s) was captured in a degraded window while the same
+code measured 7.8-8.0k docs/s in quiet ones. So the bench now probes
+multi-core bandwidth first (same microbenchmark the scaling supervisor
+uses) and, if the window is degraded, waits and re-probes a bounded
+number of times before running anyway — the probe context is always
+reported in the output line so a noisy-window number is labeled as such.
 """
 
 from __future__ import annotations
@@ -28,6 +38,34 @@ import json
 import os
 import sys
 import time
+
+
+def _probe_gate() -> dict:
+    """Bandwidth probe + bounded retry. Returns probe context for the
+    report; never blocks more than ~6 minutes total."""
+    if os.environ.get("BENCH_PROBE", "1") == "0":
+        return {}
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    try:
+        from scaling_autoretry import probe
+    except ImportError:
+        return {}
+    eff_thresh = float(os.environ.get("BENCH_PROBE_EFF", "0.6"))
+    attempts = []
+    for i in range(int(os.environ.get("BENCH_PROBE_RETRIES", "2")) + 1):
+        r1, eff4 = probe(4)
+        attempts.append({"probe_1p": round(r1, 1), "probe_eff4": round(eff4, 3)})
+        if eff4 >= eff_thresh:
+            break
+        if i < int(os.environ.get("BENCH_PROBE_RETRIES", "2")):
+            time.sleep(int(os.environ.get("BENCH_PROBE_WAIT", "120")))
+    last = attempts[-1]
+    return {
+        "host_probe_eff4": last["probe_eff4"],
+        "host_probe_1p": last["probe_1p"],
+        "host_window_degraded": last["probe_eff4"] < eff_thresh,
+        "host_probe_attempts": len(attempts),
+    }
 
 
 def _materialize(df) -> int:
@@ -94,6 +132,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float | int] = {}
+    extras.update(_probe_gate())
     want_pipeline = not only or "er_pipeline" in only.split(",")
 
     # -- headline: pipeline at both parallelism levels, best wins --------
@@ -184,7 +223,9 @@ def main() -> None:
         "lang_id_heuristic",
         "ann_cosine_topk",
         "p7_currency_convert",
-        "o2_top_event_per_user",
+        "o2_o4_top_event_first_seen",
+        "mm_binary_meta",
+        "charts_top_relationships",
     ]:
         if only and name not in only.split(","):
             continue
