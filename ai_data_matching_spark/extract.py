@@ -263,7 +263,12 @@ _EXTRACT_SKETCH_SCHEMA = T.StructType(
 )
 
 
-def make_extract_sketch_udf(shingle_k: int = 3, minhash_k: int | None = None):
+def make_extract_sketch_udf(
+    shingle_k: int = 3,
+    minhash_k: int | None = None,
+    emit_extracted: bool = True,
+    text_prefix: int | None = None,
+):
     """Fully-fused html → (extracted_text, norm_text, simhash, minhash_sig)
     in ONE Arrow round trip.
 
@@ -274,25 +279,40 @@ def make_extract_sketch_udf(shingle_k: int = 3, minhash_k: int | None = None):
     traffic) that second round trip is pure waste: the pipeline's hot path
     uses this fused kernel instead. Values are IDENTICAL to the staged
     form (same extract/normalize/sketch kernels; parity-tested).
+
+    Bytes knobs for the in-memory hot path (Catalyst prunes columns only
+    AFTER the UDF — unwanted fields still cross the Arrow boundary unless
+    the kernel omits them):
+
+    * ``emit_extracted=False`` drops the raw extracted_text field from the
+      Arrow return entirely (sketching/scoring only ever read norm_text);
+    * ``text_prefix=N`` returns only the first N chars of norm_text — the
+      scorer reads at most ``similarity.MAX_SCORE_CHARS`` anyway, so a
+      prefix ≥ that is lossless for every downstream decision while the
+      Arrow transfer and the stage cache stop carrying full page text.
     """
     from .functions.sketches import MINHASH_K, sketch_batch
 
     if minhash_k is None:
         minhash_k = MINHASH_K
+    fields = list(_EXTRACT_SKETCH_SCHEMA.fields)
+    if not emit_extracted:
+        fields = fields[1:]
+    schema = T.StructType(fields)
 
-    @F.pandas_udf(_EXTRACT_SKETCH_SCHEMA)
+    @F.pandas_udf(schema)
     def _fused(html: pd.Series) -> pd.DataFrame:
         ex = html.map(extract_text_py)
         nm = ex.map(normalize_name_py)
         sims, sigs = sketch_batch(nm.tolist(), shingle_k, minhash_k)
-        return pd.DataFrame(
-            {
-                "extracted_text": ex,
-                "norm_text": nm,
-                "simhash": pd.Series(sims, dtype="int64"),
-                "minhash_sig": list(sigs),
-            }
-        )
+        cols = {
+            "norm_text": nm.str.slice(0, text_prefix) if text_prefix else nm,
+            "simhash": pd.Series(sims, dtype="int64"),
+            "minhash_sig": list(sigs),
+        }
+        if emit_extracted:
+            cols = {"extracted_text": ex, **cols}
+        return pd.DataFrame(cols)
 
     return _fused
 

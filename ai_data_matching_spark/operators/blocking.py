@@ -99,23 +99,31 @@ def with_extract_sketch_keys(
     n_simhash_bands: int = 4,
     shingle_k: int = 3,
     minhash_k: int | None = None,
+    emit_extracted: bool = True,
+    text_prefix: int | None = None,
 ) -> DataFrame:
     """Fused stage 1+2: html → extract → normalize → sketch → blocking keys
     with ONE Arrow round trip (extract.make_extract_sketch_udf) — the
     staged ``with_blocking_keys(with_extracted_normalized(df))`` form moves
     norm_text out of and back into Python. Emits exactly the staged form's
-    columns (order included), so both paths are interchangeable."""
+    columns (order included), so both paths are interchangeable.
+    ``emit_extracted=False`` / ``text_prefix`` are the hot-path byte knobs
+    (see make_extract_sketch_udf) — the extracted_text column is then
+    absent from the output."""
     from ..extract import make_extract_sketch_udf
 
-    fused = make_extract_sketch_udf(shingle_k, minhash_k)
+    fused = make_extract_sketch_udf(shingle_k, minhash_k, emit_extracted, text_prefix)
     out = pages.withColumn("_f", fused(F.col(html_col))).withColumn(
         "norm_domain", normalized_domain_col(F.col(url_col))
     )
     keep = [c for c in pages.columns if c != html_col and c not in drop_cols]
+    text_cols = (
+        [F.col("_f.extracted_text").alias("extracted_text")] if emit_extracted else []
+    )
     out = out.select(
         *keep,
         "norm_domain",
-        F.col("_f.extracted_text").alias("extracted_text"),
+        *text_cols,
         F.col("_f.norm_text").alias("norm_text"),
         F.col("_f.simhash").alias("simhash"),
         F.col("_f.minhash_sig").alias("minhash_sig"),

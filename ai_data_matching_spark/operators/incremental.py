@@ -229,7 +229,13 @@ def run_incremental(
         prior_blocked = _prior("blocked").select(*BLOCKED_COLS)
         fresh = new_pages.join(prior_blocked.select("url"), "url", "left_anti")
         batch = with_extract_sketch_keys(
-            fresh, n_simhash_bands=cfg.n_simhash_bands, minhash_k=cfg.minhash_k
+            fresh,
+            n_simhash_bands=cfg.n_simhash_bands,
+            minhash_k=cfg.minhash_k,
+            # extracted_text is dropped by the BLOCKED_COLS projection —
+            # omit it from the Arrow return instead of transferring it;
+            # norm_text stays FULL to match the prior blocked snapshot
+            emit_extracted=False,
         ).select(*BLOCKED_COLS)
         # within-batch dedup by url: max(struct(rest)) is a deterministic
         # pick (latest warc_ts wins; every BLOCKED_COL type is orderable),

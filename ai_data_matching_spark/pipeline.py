@@ -114,18 +114,28 @@ def run_pipeline(
     if io is None:
         # fully-fused stage 1+2 — one Arrow round trip for
         # extract+normalize+sketch (see with_extract_sketch_keys); the
-        # staged form below would move norm_text through Python twice
+        # staged form below would move norm_text through Python twice.
+        # The kernel omits extracted_text from the Arrow return and
+        # truncates norm_text to the scoring prefix: no consumer of the
+        # in-memory path reads page text beyond MAX_SCORE_CHARS (scoring
+        # slices to it anyway; exact groups compare sketches), so the
+        # stage cache — the dominant memory-bandwidth term on one box,
+        # and the dominant cache/shuffle bytes at 100 TB — stops carrying
+        # the corpus. Durable-text users run the io path, whose committed
+        # extract snapshot keeps the full byte-identical text per url.
+        from .functions.similarity import MAX_SCORE_CHARS
         from .operators.blocking import with_extract_sketch_keys
 
         blocked = stage(
             "blocked",
             lambda: with_extract_sketch_keys(
-                pages, n_simhash_bands=cfg.n_simhash_bands, minhash_k=cfg.minhash_k
+                pages,
+                n_simhash_bands=cfg.n_simhash_bands,
+                minhash_k=cfg.minhash_k,
+                emit_extracted=False,
+                text_prefix=MAX_SCORE_CHARS,
             ),
         )
-        # column-pruned view of the same cache for final assignment —
-        # keeps assigned's schema identical to the snapshot path
-        extracted = blocked.drop("block_keys", "simhash", "minhash_sig")
     else:
         extracted = stage("extract", lambda: _extract(pages))
         # extracted_text is not carried into the blocked snapshot: every
@@ -174,25 +184,23 @@ def run_pipeline(
 
     labels = stage("labels", _labels)
 
-    assigned = cluster_assignments(extracted, labels)
+    # `assigned` is SLIM by contract — (url, warc_ts, lang, norm_domain,
+    # cluster_id) — in BOTH paths, matching run_incremental's output: the
+    # result of entity resolution is the assignment, not a copy of the
+    # corpus. At 100 TB, carrying page text through the cluster-label
+    # join (and every sink after it) multiplies the job's bytes for
+    # nothing; text re-attaches on demand by joining the extract snapshot
+    # (io path) or the source table on url.
+    pages_slim = blocked.select("url", "warc_ts", "lang", "norm_domain")
+    assigned = cluster_assignments(pages_slim, labels)
     if io is None:
-        # consolidate + statistics never read the page text — persist a
-        # SLIM projection for their 3 eager passes (count, distinct,
-        # rollup) instead of re-caching the full text-bearing frame (a
-        # second full-width columnar cache build was ~25% of 4-core
-        # wall-clock at 150k pages). The caller's `assigned` recomputes
-        # from the blocked cache + persisted labels on consumption — one
-        # cheap projection join, no wide cache.
+        # persist: consolidate + statistics make 3 eager passes
+        # (count, distinct, rollup) over it
         from .cache import persist_tracked
 
-        slim = persist_tracked(
-            assigned.select("url", "warc_ts", "lang", "norm_domain", "cluster_id")
-        )
-        clusters = consolidate_clusters(slim, edges)
-        stats = match_statistics(slim, edges)
-    else:
-        clusters = consolidate_clusters(assigned, edges)
-        stats = match_statistics(assigned, edges)
+        assigned = persist_tracked(assigned)
+    clusters = consolidate_clusters(assigned, edges)
+    stats = match_statistics(assigned, edges)
     if io is not None:
         io.write_metric(stats, "final", "match_statistics")
 
