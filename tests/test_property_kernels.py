@@ -79,3 +79,41 @@ def test_sketch_batch_split_invariant(docs, cut):
     s2, g2 = sketch_batch(docs[cut:], 3)
     assert np.array_equal(np.concatenate([s1, s2]), full_s)
     assert np.array_equal(np.vstack([g1, g2]), full_g)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec: encode→decode is the identity for any pixels/dims/filters
+# ---------------------------------------------------------------------------
+
+from ai_data_matching_spark.functions.png import decode_png, encode_png  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),           # width
+    st.integers(min_value=1, max_value=12),           # height
+    st.sampled_from([1, 2, 3, 4]),                    # channels
+    st.integers(min_value=0, max_value=2**32 - 1),    # pixel seed
+    st.lists(st.integers(min_value=0, max_value=4), min_size=12, max_size=12),
+)
+def test_png_roundtrip_property(w, h, nch, seed, filters):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * nch, dtype=np.uint8).tobytes()
+    data = encode_png(w, h, px, nch, filter_per_row=lambda y: filters[y % 12])
+    gw, gh, gn, got = decode_png(data)
+    assert (gw, gh, gn) == (w, h, nch)
+    assert got == px
+
+
+# ---------------------------------------------------------------------------
+# sketch_batch minhash_k: prefix-consistency of the seeded family
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(_docs, st.integers(min_value=1, max_value=32))
+def test_sketch_batch_minhash_k_prefix_consistent(docs, k):
+    _, gk = sketch_batch(docs, 3, minhash_k=k)
+    _, g16 = sketch_batch(docs, 3)
+    assert gk.shape[1] == k
+    common = min(k, 16)
+    assert np.array_equal(gk[:, :common], g16[:, :common])
