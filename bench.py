@@ -104,7 +104,8 @@ def _pipeline_run(spark, cpus: int, n_pages: int, reps: int = 2) -> tuple[int, f
     spark.catalog.clearCache()
     best = None
     n = 0
-    for _ in range(reps):
+    f1 = None
+    for rep in range(reps):
         pages = raw.repartition(cpus * 2).persist()
         n = pages.count()
         t0 = time.perf_counter()
@@ -112,10 +113,19 @@ def _pipeline_run(spark, cpus: int, n_pages: int, reps: int = 2) -> tuple[int, f
         _materialize(res.assigned)
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
+        if rep == reps - 1:
+            # north-rule correctness AT BENCH SCALE, outside the timed
+            # window: pairwise F1 of the last rep's assignment against
+            # the synth generator's labeled pairs (expect 1.0)
+            from ai_data_matching_spark.pipeline import pairwise_f1
+            from ai_data_matching_spark.synth import generate_labeled_pairs
+
+            labels = generate_labeled_pairs(spark, n_pages, seed=42)
+            f1 = pairwise_f1(res.assigned, labels)["f1"]
         pages.unpersist()
         release_persisted()
         spark.catalog.clearCache()
-    return n, best
+    return n, best, f1
 
 
 def main() -> None:
@@ -140,9 +150,11 @@ def main() -> None:
     if want_pipeline:
         for level in dict.fromkeys([pipe_cpus, cpus]):
             spark = _build(level)
-            n, dt = _pipeline_run(spark, level, n_pages)
+            n, dt, f1 = _pipeline_run(spark, level, n_pages)
             extras[f"er_pipeline_at_{level}"] = round(dt, 3)
             extras[f"er_pipeline_docs_per_sec_at_{level}"] = round(n / dt, 1)
+            if f1 is not None:
+                extras["er_pipeline_pairwise_f1"] = round(f1, 6)
             if best_level is None or n / dt > best_level[1] / best_level[2]:
                 best_level = (level, n, dt)
             if level != cpus:
