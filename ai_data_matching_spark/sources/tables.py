@@ -146,6 +146,10 @@ class TableIO:
 
         Without retention a continuous-ER deployment grows storage without
         bound: every epoch commits blocked/edges/labels snapshots forever.
+        (``_metrics`` frames are outside retention: they are per-epoch
+        kilobyte-scale aggregates — counts and score histograms — whose
+        history IS the observability record; prune by age externally if
+        a deployment ever cares.)
         Crash-safe ordering: the compacted manifest is PUBLISHED first
         (atomic os.replace), then dropped snapshot directories are
         deleted — a crash in between leaves orphan directories (harmless,
