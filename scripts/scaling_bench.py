@@ -43,25 +43,35 @@ spark = build_session(
         "spark.driver.memory": "24g",
     }},
 )
-raw = generate_pages(spark, n_pages, seed=42).drop("entity_id")
+# INPUT IS A TABLE, as the north rule states ("over an Iceberg table of
+# Common-Crawl-style web pages"): the deterministic corpus is written
+# ONCE (untimed) as snappy parquet on tmpfs and every timed rep READS it
+# — per-leg columnar decode is real per-executor work on any cluster.
+# The earlier harness pre-materialized the input as an UNCOMPRESSED
+# in-memory cache, which models nothing real and, on a shared-bus host,
+# hands the 1-core leg its input at ~zero CPU cost while the 4-core leg
+# pays the bus for 4x the byte rate — see BENCH/BASELINE.md round-3 notes.
+path = f"/dev/shm/spark-scaling/pages-{{n_pages}}.parquet"
+if not os.path.exists(path):
+    generate_pages(spark, n_pages, seed=42).drop("entity_id") \
+        .repartition(32).write.mode("overwrite").parquet(path)
+pages = spark.read.parquet(path)
 
 # warm the Python worker pool + JIT outside the timed window
-run_pipeline(spark, raw.limit(2000)).assigned.write.format("noop").mode("overwrite").save()
+run_pipeline(spark, pages.limit(2000)).assigned.write.format("noop").mode("overwrite").save()
 
 best = None
-n = 0
+n = pages.count()
 for _ in range({reps}):
     # run_pipeline persists every stage and Spark's CacheManager matches
     # identical plans across invocations — clear between reps so each rep
-    # measures real compute, then re-materialize the input un-timed.
+    # measures real compute.
     spark.catalog.clearCache()
     # force a driver GC so ContextCleaner deletes the previous rep's
     # shuffle files from the tmpfs local dir — at 1M pages the stale
     # files' RAM occupancy measurably slowed rep 2 at both levels
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
-    pages = raw.repartition(2 * cpus).persist()
-    n = pages.count()
     t0 = time.perf_counter()
     res = run_pipeline(spark, pages)
     res.assigned.write.format("noop").mode("overwrite").save()
