@@ -98,16 +98,25 @@ def _pipeline_run(spark, cpus: int, n_pages: int, reps: int = 2) -> tuple[int, f
     from ai_data_matching_spark.pipeline import run_pipeline
     from ai_data_matching_spark.synth import generate_pages
 
-    raw = generate_pages(spark, n_pages, seed=42).drop("entity_id")
+    # input is a TABLE (the cli.py --input contract): corpus written once
+    # untimed as snappy parquet on tmpfs, every timed rep reads it — same
+    # methodology as scripts/scaling_bench.py (see BENCH/BASELINE.md)
+    pq_dir = "/dev/shm/spark-bench" if os.path.isdir("/dev/shm") else "/tmp/spark-bench"
+    os.makedirs(pq_dir, exist_ok=True)
+    path = f"{pq_dir}/pages-{n_pages}.parquet"
+    if not os.path.exists(path):
+        generate_pages(spark, n_pages, seed=42).drop("entity_id").repartition(
+            32
+        ).write.mode("overwrite").parquet(path)
+    raw = spark.read.parquet(path)
     _materialize(run_pipeline(spark, raw.limit(2000)).assigned)  # warm-up
     release_persisted()
     spark.catalog.clearCache()
     best = None
-    n = 0
     f1 = None
+    pages = raw
+    n = pages.count()
     for rep in range(reps):
-        pages = raw.repartition(cpus * 2).persist()
-        n = pages.count()
         t0 = time.perf_counter()
         res = run_pipeline(spark, pages)
         _materialize(res.assigned)
@@ -122,7 +131,6 @@ def _pipeline_run(spark, cpus: int, n_pages: int, reps: int = 2) -> tuple[int, f
 
             labels = generate_labeled_pairs(spark, n_pages, seed=42)
             f1 = pairwise_f1(res.assigned, labels)["f1"]
-        pages.unpersist()
         release_persisted()
         spark.catalog.clearCache()
     return n, best, f1
