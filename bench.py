@@ -52,12 +52,12 @@ def _probe_gate() -> dict:
         return {}
     eff_thresh = float(os.environ.get("BENCH_PROBE_EFF", "0.6"))
     attempts = []
-    for i in range(int(os.environ.get("BENCH_PROBE_RETRIES", "2")) + 1):
+    for i in range(int(os.environ.get("BENCH_PROBE_RETRIES", "1")) + 1):
         r1, eff4 = probe(4)
         attempts.append({"probe_1p": round(r1, 1), "probe_eff4": round(eff4, 3)})
         if eff4 >= eff_thresh:
             break
-        if i < int(os.environ.get("BENCH_PROBE_RETRIES", "2")):
+        if i < int(os.environ.get("BENCH_PROBE_RETRIES", "1")):
             time.sleep(int(os.environ.get("BENCH_PROBE_WAIT", "120")))
     last = attempts[-1]
     return {
