@@ -384,6 +384,42 @@ def q_mm_binary_meta(spark, sf_dir):
     return base.join(stats, "doc_id")
 
 
+def q_mm_audio_meta(spark, sf_dir):
+    """Multimodal audio/video: REAL RIFF duration parsing (no estimates).
+
+    Each doc gets a deterministic synthetic RIFF payload — WAV (stdlib
+    encoder, sample rate / channels / data size closed-form in doc_id) or
+    AVI (avih frame period × frame count closed-form in doc_id) — and
+    ``extract_media_metadata`` parses duration_ms back out of the headers
+    (functions/riff.py: fmt byte-rate + data size for WAV, avih for AVI).
+    The DuckDB oracle recomputes duration/n_bytes from the SAME closed
+    form, so a bug anywhere in encode OR parse breaks the value hash."""
+    from ai_data_matching_spark.functions.riff import encode_avi_header, encode_wav
+    from ai_data_matching_spark.operators.multimodal import extract_media_metadata
+
+    d = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def make_media(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id:
+            did = int(did)
+            if did % 3 == 0:
+                out.append(
+                    encode_avi_header(20000 + (did % 11) * 1000, 100 + did % 50)
+                )
+            else:
+                rate = 8000 + (did % 5) * 4000
+                nch = 1 + did % 2
+                out.append(encode_wav(rate, nch, 16, b"\x00" * (1000 + (did % 97) * 64)))
+        return pd.Series(out)
+
+    media = d.select("doc_id", make_media(F.col("doc_id")).alias("payload"))
+    return extract_media_metadata(media, id_col="doc_id", payload_col="payload").select(
+        F.col("id").alias("doc_id"), "media_type", "n_bytes", "duration_ms"
+    )
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -879,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "mm_binary_meta": q_mm_binary_meta,
+        "mm_audio_meta": q_mm_audio_meta,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue_orders": q_q3_top_revenue_orders,
         "p7_currency_convert": q_p7_currency_convert,
@@ -1207,6 +1244,28 @@ def oracle_sql() -> dict[str, str]:
                    hex(encode(substr(t.text, 1, 4))) AS magic_hex,
                    px.w::INT AS width, px.h::INT AS height, px.pixel_sum
             FROM documents t JOIN px USING (doc_id)
+        """,
+        "mm_audio_meta": """
+            -- closed-form twin of the synthetic RIFF payloads:
+            --   WAV n_bytes = 44-byte canonical header + data size (even);
+            --   AVI prefix is the fixed 88-byte RIFF/LIST/avih skeleton
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'video/avi' ELSE 'audio/wav' END
+                       AS media_type,
+                     20000 + (doc_id % 11) * 1000 AS upf,
+                     100 + doc_id % 50 AS tf,
+                     8000 + (doc_id % 5) * 4000 AS rate,
+                     1 + doc_id % 2 AS nch,
+                     1000 + (doc_id % 97) * 64 AS dsize
+              FROM documents)
+            SELECT doc_id, media_type,
+                   (CASE WHEN media_type = 'video/avi' THEN 88
+                         ELSE 44 + dsize END)::BIGINT AS n_bytes,
+                   (CASE WHEN media_type = 'video/avi' THEN upf * tf // 1000
+                         ELSE dsize * 1000 // (rate * nch * 2) END)::BIGINT
+                     AS duration_ms
+            FROM p
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

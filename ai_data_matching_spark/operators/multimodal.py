@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata.
 
-Image decode is REAL for the formats a stdlib-only container can parse:
-PNG is fully decoded (zlib inflate + all five scanline unfilters —
-``functions/png.py``), JPEG/GIF dimensions come from their public header
-layouts. Audio/video stay header-sniffed (their codecs genuinely need
-external libraries); a corrupt or unsupported image yields NULL dims
-plus a decode_error flag — never a crash, never a fake value.
+Every emitted value is REAL or NULL — never an estimate: PNG is fully
+decoded (zlib inflate + all five scanline unfilters — ``functions/png.py``),
+JPEG/GIF dimensions come from their public header layouts, WAV and AVI
+durations are parsed exactly from the RIFF fmt/data and avih headers
+(``functions/riff.py``). Formats whose duration genuinely needs a codec
+walk (mp3 frame headers, webm EBML) emit NULL duration plus a
+``codec_required`` flag; a corrupt payload yields NULL fields plus
+``decode_error`` — never a crash, never a fake value.
 
 Design for 100 TB: binary payloads never shuffle — metadata extraction is
 a narrow projection; downstream joins/gathers operate on (id, metadata)
@@ -23,26 +25,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import png as _png
+from ..functions import riff as _riff
 
 MEDIA_META_SCHEMA = (
     "id long, media_type string, n_bytes long, magic string, "
-    "width int, height int, duration_ms long, decode_error boolean"
+    "width int, height int, duration_ms long, "
+    "decode_error boolean, codec_required boolean"
 )
 
 _MAGIC = {
-    b"\x89PNG": ("image/png", True),
-    b"\xff\xd8\xff": ("image/jpeg", True),
-    b"GIF8": ("image/gif", True),
-    b"RIFF": ("audio/wav", False),
-    b"ID3": ("audio/mp3", False),
-    b"\x1aE\xdf\xa3": ("video/webm", False),
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"GIF8": "image/gif",
+    b"ID3": "audio/mp3",
+    b"\x1aE\xdf\xa3": "video/webm",
 }
+
+_RIFF_FORMS = {"WAVE": "audio/wav", "AVI ": "video/avi"}
 
 
 def sniff_media_type(payload: bytes | None) -> str:
     if not payload:
         return "unknown"
-    for magic, (mtype, _img) in _MAGIC.items():
+    if payload.startswith(b"RIFF"):
+        # form-type aware: RIFF is a container, not a format
+        try:
+            return _RIFF_FORMS.get(_riff.riff_form_type(payload), "application/riff")
+        except ValueError:
+            return "application/octet-stream"
+    for magic, mtype in _MAGIC.items():
         if payload.startswith(magic):
             return mtype
     return "application/octet-stream"
@@ -89,13 +100,26 @@ def extract_media_metadata(
                 width = height = None
                 duration = None
                 err = False
+                codec = False
                 if mtype.startswith("image/"):
                     try:
                         width, height = decode_image_dims(data)
                     except ValueError:
                         err = True
+                elif mtype == "audio/wav":
+                    try:
+                        duration = _riff.wav_duration_ms(data)
+                    except ValueError:
+                        err = True
+                elif mtype == "video/avi":
+                    try:
+                        duration = _riff.avi_duration_ms(data)
+                    except ValueError:
+                        err = True
                 elif mtype.startswith(("audio/", "video/")):
-                    duration = len(data) * 8 // 128  # nominal 128 kbit/s estimate
+                    # mp3 / webm duration needs a codec-level walk the
+                    # container doesn't ship: NULL + flag, never a guess
+                    codec = True
                 out.append(
                     dict(
                         id=int(_id),
@@ -106,13 +130,15 @@ def extract_media_metadata(
                         height=height,
                         duration_ms=duration,
                         decode_error=err,
+                        codec_required=codec,
                     )
                 )
             yield pd.DataFrame(
                 out,
                 columns=[
                     "id", "media_type", "n_bytes", "magic",
-                    "width", "height", "duration_ms", "decode_error",
+                    "width", "height", "duration_ms",
+                    "decode_error", "codec_required",
                 ],
             )
 
@@ -165,8 +191,12 @@ def extract_image_stats(
 def frame_sample_plan(media_meta: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Native planning op: expand each video row into frame-sample
     timestamps (the decode of each frame is the stubbed step). Shows the
-    explode-side shape a real frame pipeline would use."""
-    vids = media_meta.filter(F.col("media_type").startswith("video/"))
+    explode-side shape a real frame pipeline would use. Videos whose
+    duration could not be parsed (codec_required / decode_error → NULL)
+    are excluded rather than guessed at."""
+    vids = media_meta.filter(
+        F.col("media_type").startswith("video/") & F.col("duration_ms").isNotNull()
+    )
     return vids.select(
         "id",
         F.explode(

@@ -14,6 +14,12 @@ from ai_data_matching_spark.functions.png import (
     jpeg_dimensions,
     png_dimensions,
 )
+from ai_data_matching_spark.functions.riff import (
+    avi_duration_ms,
+    encode_avi_header,
+    encode_wav,
+    wav_duration_ms,
+)
 from ai_data_matching_spark.operators.multimodal import (
     decode_image_dims,
     extract_image_stats,
@@ -44,11 +50,15 @@ def media(spark):
     rows = [
         (1, encode_png(6, 5, _pixels(6, 5, 3), 3)),
         (2, _jpeg_bytes(640, 480)),
-        (3, b"RIFF" + b"\x00" * 64000),
-        (4, b"\x1aE\xdf\xa3" + b"\x00" * 320000),
+        # 8 kHz mono 16-bit, 16000 PCM bytes → byte rate 16000 → exactly 1000 ms
+        (3, encode_wav(8000, 1, 16, b"\x00" * 16000)),
+        (4, b"\x1aE\xdf\xa3" + b"\x00" * 320000),  # webm: duration needs EBML walk
         (5, None),
         (6, b"plain text bytes"),
         (7, b"\x89PNG\r\n\x1a\n" + b"\x00" * 100),  # PNG magic, corrupt body
+        # 40 ms/frame × 250 frames → exactly 10000 ms
+        (8, encode_avi_header(40000, 250)),
+        (9, b"RIFF" + b"\x00" * 64),  # RIFF magic, corrupt container
     ]
     return spark.createDataFrame(rows, "id long, payload binary")
 
@@ -104,6 +114,35 @@ def test_sniff():
     assert sniff_media_type(b"\xff\xd8\xff\xdb") == "image/jpeg"
     assert sniff_media_type(None) == "unknown"
     assert sniff_media_type(b"whatever") == "application/octet-stream"
+    # RIFF is a container: the form type decides the media type
+    assert sniff_media_type(encode_wav(8000, 1, 16, b"\x00" * 16)) == "audio/wav"
+    assert sniff_media_type(encode_avi_header(40000, 1)) == "video/avi"
+    assert sniff_media_type(b"RIFF\x10\x00\x00\x00JUNK") == "application/riff"
+    assert sniff_media_type(b"RIFF\x00\x00") == "application/octet-stream"
+
+
+def test_wav_duration_exact():
+    # 44.1 kHz stereo 16-bit → byte rate 176400; 88200 bytes → 500 ms
+    assert wav_duration_ms(encode_wav(44100, 2, 16, b"\x00" * 88200)) == 500
+    # odd-size data chunk is word-padded but duration uses the declared size
+    assert wav_duration_ms(encode_wav(1000, 1, 8, b"\x00" * 333)) == 333
+    with pytest.raises(ValueError):
+        wav_duration_ms(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data chunks
+    with pytest.raises(ValueError):
+        wav_duration_ms(encode_avi_header(40000, 1))  # wrong form type
+    # zero byte rate must refuse, not divide
+    bad = bytearray(encode_wav(8000, 1, 16, b"\x00" * 16))
+    bad[28:32] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        wav_duration_ms(bytes(bad))
+
+
+def test_avi_duration_exact():
+    assert avi_duration_ms(encode_avi_header(33333, 300)) == 33333 * 300 // 1000
+    with pytest.raises(ValueError):
+        avi_duration_ms(b"RIFF\x04\x00\x00\x00AVI ")  # no hdrl/avih
+    with pytest.raises(ValueError):
+        avi_duration_ms(encode_avi_header(0, 300))  # zero frame period
 
 
 def test_metadata_schema_and_values(media):
@@ -111,18 +150,25 @@ def test_metadata_schema_and_values(media):
     rows = {r["id"]: r for r in meta.collect()}
     assert set(meta.columns) == {
         "id", "media_type", "n_bytes", "magic",
-        "width", "height", "duration_ms", "decode_error",
+        "width", "height", "duration_ms", "decode_error", "codec_required",
     }
     # REAL decoded dims, not fakes
     assert (rows[1]["width"], rows[1]["height"]) == (6, 5)
     assert (rows[2]["width"], rows[2]["height"]) == (640, 480)
-    assert rows[3]["media_type"] == "audio/wav" and rows[3]["duration_ms"] > 0
+    # REAL parsed durations: exact values from the RIFF headers
+    assert rows[3]["media_type"] == "audio/wav" and rows[3]["duration_ms"] == 1000
+    assert rows[8]["media_type"] == "video/avi" and rows[8]["duration_ms"] == 10000
+    # codec-needing formats: NULL + visible flag, never an estimate
     assert rows[4]["media_type"] == "video/webm"
+    assert rows[4]["duration_ms"] is None and rows[4]["codec_required"] is True
+    assert rows[4]["decode_error"] is False
     assert rows[5]["media_type"] == "unknown" and rows[5]["n_bytes"] == 0
     assert rows[6]["media_type"] == "application/octet-stream"
     # corrupt image → NULL dims + visible flag, not a crash or a fake
     assert rows[7]["width"] is None and rows[7]["decode_error"] is True
     assert rows[1]["decode_error"] is False
+    assert rows[9]["media_type"] == "application/riff"
+    assert rows[3]["codec_required"] is False and rows[3]["decode_error"] is False
 
 
 def test_image_stats_real_pixels(media):
@@ -136,7 +182,11 @@ def test_image_stats_real_pixels(media):
 
 def test_frame_sample_plan(media):
     meta = extract_media_metadata(media)
-    plan = frame_sample_plan(meta, every_ms=5000)
-    frames = plan.filter(F.col("id") == 4).count()
-    dur = {r["id"]: r["duration_ms"] for r in meta.collect()}[4]
-    assert frames == dur // 5000 + 1
+    plan = frame_sample_plan(meta, every_ms=5000).collect()
+    by_id = {}
+    for r in plan:
+        by_id.setdefault(r["id"], []).append(r["frame_ts_ms"])
+    # AVI with a REAL parsed 10000 ms duration → frames at 0/5000/10000
+    assert sorted(by_id[8]) == [0, 5000, 10000]
+    # webm duration is unparseable without a codec → excluded, not guessed
+    assert 4 not in by_id
