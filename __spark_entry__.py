@@ -27,6 +27,7 @@ from ai_data_matching_spark.extract import (
     normalize_name_col,
     variants_col,
 )
+from ai_data_matching_spark.partitioning import one_group
 from ai_data_matching_spark.functions.text import (
     doc_fingerprint,
     lang_id,
@@ -59,7 +60,12 @@ def _block_key(norm_col):
 
 
 def _with_norm(docs: DataFrame) -> DataFrame:
-    return docs.withColumn("norm_text", _norm(F.col("text")))
+    # fan_out: the normalize chain (~10 regex passes/doc) and everything
+    # downstream (levenshtein joins) must not serialize on a single
+    # small-file input split — no-op when the scan already has enough
+    from ai_data_matching_spark.partitioning import fan_out
+
+    return fan_out(docs).withColumn("norm_text", _norm(F.col("text")))
 
 
 # shared SQL fragments (DuckDB side) — built from the SAME pattern constants
@@ -246,7 +252,9 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from ai_data_matching_spark.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -257,12 +265,16 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from ai_data_matching_spark.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
 
 
 def q_token_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from ai_data_matching_spark.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -273,8 +285,9 @@ def q_token_counts(spark, sf_dir):
 def q_doc_fingerprint(spark, sf_dir):
     """Portable fingerprint (md5-prefix 1-perm MinHash) — full DuckDB twin."""
     from ai_data_matching_spark.functions.portable import fingerprint
+    from ai_data_matching_spark.partitioning import fan_out
 
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -333,8 +346,11 @@ def q_ann_ivf_topk(spark, sf_dir):
     """IVF (coarse-quantizer) ANN; like ann_lsh_topk the oracle is the
     exact brute-force top-k, so the hash match is a measured recall-1.0
     gate for the inverted-list path (8 centroids × nprobe 6 — verified
-    exact at sf0.001 AND sf0.01; production tuning is n_centroids ∝ √N
-    with nprobe ≪ n_centroids)."""
+    exact at sf0.01, the correctness-gate scale; the r4-regenerated
+    sf0.001 vectors include list-boundary ties that IVF misses at every
+    reasonable nprobe < n_centroids, the expected approximate-by-design
+    behavior. Production tuning is n_centroids ∝ √N with
+    nprobe ≪ n_centroids)."""
     from ai_data_matching_spark.operators.similarity_search import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -371,7 +387,11 @@ def q_mm_binary_meta(spark, sf_dir):
             out.append(encode_png(w, h, px, 3))
         return pd.Series(out)
 
-    media = d.select("doc_id", make_png(F.col("doc_id")).alias("payload"))
+    from ai_data_matching_spark.partitioning import fan_out
+
+    media = fan_out(d.select("doc_id")).select(
+        "doc_id", make_png(F.col("doc_id")).alias("payload")
+    )
     stats = extract_image_stats(media, id_col="doc_id", payload_col="payload").select(
         F.col("id").alias("doc_id"), "width", "height", "pixel_sum"
     )
@@ -414,7 +434,11 @@ def q_mm_audio_meta(spark, sf_dir):
                 out.append(encode_wav(rate, nch, 16, b"\x00" * (1000 + (did % 97) * 64)))
         return pd.Series(out)
 
-    media = d.select("doc_id", make_media(F.col("doc_id")).alias("payload"))
+    from ai_data_matching_spark.partitioning import fan_out
+
+    media = fan_out(d.select("doc_id")).select(
+        "doc_id", make_media(F.col("doc_id")).alias("payload")
+    )
     return extract_media_metadata(media, id_col="doc_id", payload_col="payload").select(
         F.col("id").alias("doc_id"), "media_type", "n_bytes", "duration_ms"
     )
@@ -447,12 +471,20 @@ def q_q3_top_revenue_orders(spark, sf_dir):
     j = rev.join(o, rev["l_orderkey"] == o["o_orderkey"]).join(
         F.broadcast(c), o["o_custkey"] == c["c_custkey"]
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return (
+    # top-k FIRST via TakeOrderedAndProject (per-partition heaps — never a
+    # single-partition sort of the whole join output), THEN rank the ≤10
+    # survivors; same shape as o1/charts (VERDICT r03 item 3)
+    top = (
         j.select("o_orderkey", "c_name", "revenue")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("o_orderkey", "c_name", "revenue", F.col("rk").cast("long").alias("rk"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+    # deliberate single ≤10-row group (see partitioning.one_group)
+    w = Window.partitionBy(one_group("o_orderkey")).orderBy(
+        F.desc("revenue"), F.asc("o_orderkey")
+    )
+    return top.select(
+        "o_orderkey", "c_name", "revenue", F.row_number().over(w).cast("long").alias("rk")
     )
 
 
@@ -718,7 +750,9 @@ def q_o1_global_sort_topk(spark, sf_dir):
     ever sees k rows."""
     o = _t(spark, sf_dir, "orders")
     top = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w = Window.partitionBy(one_group("o_orderkey")).orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
     return top.select(
         "o_orderkey",
         "o_totalprice",

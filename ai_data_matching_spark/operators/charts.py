@@ -27,7 +27,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql import Window
+
+from ..partitioning import one_group
 
 
 def top_relationships_data(
@@ -45,7 +48,10 @@ def top_relationships_data(
     top-N limit, so the window's single-partition stage sees only N rows.
     """
     top = matches.orderBy(F.desc(value_col), F.asc(name_col)).limit(top_n)
-    w = Window.orderBy(F.desc(value_col), F.asc(name_col))
+    # deliberate single ≤N-row group (see partitioning.one_group)
+    w = Window.partitionBy(one_group(name_col)).orderBy(
+        F.desc(value_col), F.asc(name_col)
+    )
     return top.select(
         name_col, value_col, *extra_cols
     ).withColumn("rank", F.row_number().over(w).cast("long"))
@@ -57,7 +63,7 @@ def match_type_distribution(matches: DataFrame, type_col: str = "match_type") ->
     pct column comes from a window over the tiny aggregate, not a second
     scan of the input."""
     agg = matches.groupBy(type_col).agg(F.count("*").alias("n"))
-    total = Window.partitionBy()
+    total = Window.partitionBy(one_group(type_col))
     return agg.select(
         type_col,
         "n",
@@ -77,7 +83,7 @@ def score_distribution(
         )
         .agg(F.count("*").alias("n_pairs"))
     )
-    total = Window.partitionBy()
+    total = Window.partitionBy(one_group("score_bucket"))
     return agg.select(
         "score_bucket",
         "n_pairs",

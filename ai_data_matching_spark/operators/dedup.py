@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..cache import persist_tracked
 from ..functions.hashing import simhash_bands
+from ..partitioning import fan_out
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -88,10 +89,12 @@ def duplicate_pairs_minhash_lsh(
 
     assert minhash_k == MINHASH_K, "fast sketch UDF emits fixed-k signatures"
     rows_per_band = minhash_k // n_bands
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        make_shingles_udf(shingle_k)(F.col(text_col)).alias("_sh"),
-        make_sketch_udf(shingle_k)(F.col(text_col))["minhash_sig"].alias("_sig"),
+    base = fan_out(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    ).select(
+        "id",
+        make_shingles_udf(shingle_k)(F.col("_txt")).alias("_sh"),
+        make_sketch_udf(shingle_k)(F.col("_txt"))["minhash_sig"].alias("_sig"),
     )
 
     # Persist ONE row per doc, then band-join on a SLIM (id, bucket)
@@ -148,12 +151,13 @@ def duplicate_pairs_minhash_portable(
     # one persisted row per doc; the md5-expression sketch (the pricey
     # part of the portable family) is computed ONCE, not once per band —
     # and the band self-join shuffles only (id, bucket), with shingle
-    # sets attached per candidate pair (see _verify_jaccard)
+    # sets attached per candidate pair (see _verify_jaccard). fan_out
+    # spreads the md5 CPU across the session when the scan is a single
+    # small-file split (no-op at cluster scale).
     base = persist_tracked(
-        docs.select(
-            F.col(id_col).alias("id"),
-            P.portable_shingles(F.col(text_col), shingle_k).alias("_sh"),
-        ).withColumn(
+        fan_out(docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt")))
+        .select("id", P.portable_shingles(F.col("_txt"), shingle_k).alias("_sh"))
+        .withColumn(
             "_sig", P.minhash_sig(P.base_hashes(F.col("_sh")), F.size(F.col("_sh")))
         )
     )
@@ -183,9 +187,11 @@ def duplicate_pairs_simhash_portable(
         raise ValueError("pigeonhole guarantee needs max_hamming < n_bands")
     from ..functions import portable as P
 
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        P.simhash60(P.base_hashes(P.portable_shingles(F.col(text_col), shingle_k))).alias(
+    base = fan_out(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    ).select(
+        "id",
+        P.simhash60(P.base_hashes(P.portable_shingles(F.col("_txt"), shingle_k))).alias(
             "_sim"
         ),
     )
@@ -223,10 +229,9 @@ def duplicate_pairs_simhash(
     """
     from ..functions.sketches import sketch_udf
 
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        sketch_udf(F.col(text_col))["simhash"].alias("_sim"),
-    )
+    base = fan_out(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    ).select("id", sketch_udf(F.col("_txt"))["simhash"].alias("_sim"))
     bands = base.select(
         "id", "_sim", F.explode(simhash_bands(F.col("_sim"), n_bands)).alias("bucket")
     )
@@ -281,10 +286,14 @@ def duplicate_pairs_ngram_jaccard(
     from ..functions.sketches import make_shingles_udf
 
     block_cols = block_cols or ["lang", "source"]
-    base = docs.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("id"),
-        make_shingles_udf(shingle_k)(F.col(text_col)).alias("_sh"),
+    base = fan_out(
+        docs.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_txt"),
+        )
+    ).select(
+        *block_cols, "id", make_shingles_udf(shingle_k)(F.col("_txt")).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
     # persisted: both sides of the self-join consume this frame — without
     # it Spark recomputes the shingle UDF per side (measured 2× cost)
@@ -348,9 +357,11 @@ def duplicate_pairs_embedding_cosine(
 
     bucket_udf = make_lsh_bucket_udf(bits, n_tables)
     base = persist_tracked(
-        embs.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
+        fan_out(
+            embs.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
         ).withColumn("bucket", F.explode(bucket_udf(F.col("_v"))))
     )
     a = base.select("bucket", F.col("id").alias("id_a"), F.col("_v").alias("_va"))

@@ -32,9 +32,9 @@ CHECKS = {
         "note": "filter pushed to parquet scan; partial+final hash agg",
     },
     "q3_top_revenue_orders": {
-        "expect": ["BroadcastHashJoin", "HashAggregate"],
+        "expect": ["BroadcastHashJoin", "HashAggregate", "TakeOrderedAndProject"],
         "forbid": ["BatchEvalPython"],
-        "note": "customer dim broadcast; revenue agg map-side combined",
+        "note": "customer dim broadcast; revenue agg map-side combined; top-10 via per-partition heaps, rank window sees only 10 rows",
     },
     "q5_regional_revenue": {
         "expect": ["BroadcastHashJoin", "HashAggregate"],
