@@ -271,7 +271,11 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
 
 
-def q_token_counts(spark, sf_dir):
+def q_text_tokens_fingerprint(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish subword estimate) AND the
+    portable document fingerprint (md5-prefix 1-perm MinHash) in ONE
+    per-row projection over documents — full DuckDB twin for both."""
+    from ai_data_matching_spark.functions.portable import fingerprint
     from ai_data_matching_spark.partitioning import fan_out
 
     d = fan_out(_t(spark, sf_dir, "documents"))
@@ -279,16 +283,8 @@ def q_token_counts(spark, sf_dir):
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         subword_count_est(F.col("text")).cast("long").alias("n_subwords"),
+        fingerprint(F.col("text")).alias("fingerprint"),
     )
-
-
-def q_doc_fingerprint(spark, sf_dir):
-    """Portable fingerprint (md5-prefix 1-perm MinHash) — full DuckDB twin."""
-    from ai_data_matching_spark.functions.portable import fingerprint
-    from ai_data_matching_spark.partitioning import fan_out
-
-    d = fan_out(_t(spark, sf_dir, "documents"))
-    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -722,23 +718,21 @@ def q_a4_match_statistics(spark, sf_dir):
     )
 
 
-def q_a5_value_counts_top(spark, sf_dir):
-    """A5: value_counts + top-k head (relationship_mapper.py:177-184)."""
+def q_a5_a7_a8_value_stats(spark, sf_dir):
+    """A5 + A7 + A8 — value_counts with top-k head (relationship_mapper
+    .py:177-184) carrying distinct-user counts (app.py:443) and means
+    (app.py:575) per group: one map-side-combined groupBy, then top-3 via
+    TakeOrderedAndProject. All three operators in one contract query."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
         .orderBy(F.desc("n"), F.asc("event_type"))
         .limit(3)
-    )
-
-
-def q_a7_a8_distinct_means(spark, sf_dir):
-    """A7 + A8: distinct counts and means per group (app.py:443, :575)."""
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
     )
 
 
@@ -787,6 +781,53 @@ def q_charts_score_distribution(spark, sf_dir):
     return score_distribution(exact.unionByName(fuzzy), "score", 0.05)
 
 
+def q_charts_expiry_timeline(spark, sf_dir):
+    """Chart data — contract-expiry timeline (reference charts.py:102-136):
+    mixed-format date STRINGS coerced null-on-failure (the pandas
+    ``to_datetime(errors='coerce')`` contract), sentinel and unparseable
+    rows dropped, bounded marker size ``min(20, max(8, value/50000))``.
+    The mixed formats are synthesized deterministically from o_orderdate
+    so all three accepted formats AND the sentinel-drop path are
+    exercised and oracled."""
+    from ai_data_matching_spark.operators.charts import expiry_timeline_data
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 4
+    raw = (
+        F.when(k == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k == 1, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .when(k == 2, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .otherwise(F.lit("Not specified"))
+    )
+    base = o.select(
+        "o_orderkey", raw.alias("end_raw"), F.col("o_totalprice").alias("value")
+    )
+    out = expiry_timeline_data(base, "end_raw", "value", "o_orderkey")
+    return out.withColumn("marker_size", F.round("marker_size", 6))
+
+
+def q_charts_summary_metrics(spark, sf_dir):
+    """Chart data — one-row summary dashboard (reference charts.py:271-305):
+    match success rate against the candidate universe plus total value
+    breakdown over the matched subset (finalized orders as 'matches')."""
+    from ai_data_matching_spark.operators.charts import summary_metrics_data
+
+    o = _t(spark, sf_dir, "orders")
+    total = o.count()
+    # client share derived in DECIMAL: round(double*0.85, 2) is engine-
+    # dependent at binary midpoints; decimal(18,2)*decimal(3,2) is exact
+    # and HALF_UP-rounds identically everywhere
+    share = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)") * F.lit("0.85").cast("decimal(3,2)"),
+        2,
+    ).cast("double")
+    matches = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_totalprice").alias("vendor_value"),
+        share.alias("client_value"),
+    )
+    return summary_metrics_data(matches, total, "vendor_value", "client_value")
+
+
 def q_u3_distinct_pairs(spark, sf_dir):
     """U3: set dedup (matching_engine.py:79) as dropDuplicates."""
     d = _t(spark, sf_dir, "documents")
@@ -829,12 +870,26 @@ def q_a9_insight_predicates(spark, sf_dir):
     )
 
 
-def q_s7_sample_extraction(spark, sf_dir):
-    """S7 — deterministic preview sample (reference df.head preview):
-    first k rows by key order (orderBy + limit → TakeOrderedAndProject,
-    per-partition heaps, no global sort)."""
+def q_s7_k3_sample_payload(spark, sf_dir):
+    """S7 + K3 — deterministic preview sample (reference df.head preview:
+    orderBy + limit → TakeOrderedAndProject, per-partition heaps, no
+    global sort) carrying the base64 payload encoding the reference's
+    download links use (export_manager.py) — one contract query, both
+    operators exercised."""
     d = _t(spark, sf_dir, "documents")
-    return d.orderBy("doc_id").limit(5).select("doc_id", "lang", "source", "n_chars")
+    return (
+        d.orderBy("doc_id")
+        .limit(5)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.base64(F.encode(F.substring(F.col("text"), 1, 32), "UTF-8")).alias(
+                "payload_b64"
+            ),
+        )
+    )
 
 
 def q_s2_s3_excel_ingest(spark, sf_dir):
@@ -869,15 +924,6 @@ def q_s2_s3_excel_ingest(spark, sf_dir):
     )
     os.remove(path)
     return out
-
-
-def q_k3_base64_payload(spark, sf_dir):
-    """K3 — base64 payload encoding (reference download link payloads)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.base64(F.encode(F.substring(F.col("text"), 1, 32), "UTF-8")).alias("payload_b64"),
-    )
 
 
 def q_q5_regional_revenue(spark, sf_dir):
@@ -919,9 +965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first 50 registry entries in r02 (52 registered; the last two
     # fell off), so this registry is kept at ≤ 50 entries. Operators are
     # consolidated into shared queries where they share a table/shape
-    # (a7_a8, s2_s3, p4_p12, p9_p10, p13_p14, o2_o4 — same precedent the
-    # coverage table documents), and the two entries the r02 artifact
-    # dropped (u3, q5) are ordered early as extra insurance.
+    # (s7_k3, a5_a7_a8, s2_s3, p4_p12, p9_p10, p13_p14, o2_o4 — same
+    # precedent the coverage table documents), and the two entries the
+    # r02 artifact dropped (u3, q5) are ordered early as extra insurance.
     return {
         "p1_normalize_text": q_p1_normalize,
         "p2_blocking_variants": q_p2_variants,
@@ -929,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_regional_revenue": q_q5_regional_revenue,
         "charts_top_relationships": q_charts_top_relationships,
         "charts_score_distribution": q_charts_score_distribution,
+        "charts_expiry_timeline": q_charts_expiry_timeline,
+        "charts_summary_metrics": q_charts_summary_metrics,
         "j1_exact_block_join": q_j1_exact_block_join,
         "j1b_variant_probe_join": q_j1b_variant_probe_join,
         "j2_unmatched_antijoin": q_j2_unmatched_antijoin,
@@ -940,8 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "text_quality": q_text_quality,
         "lang_id_heuristic": q_lang_id,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
+        "text_tokens_fingerprint": q_text_tokens_fingerprint,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -966,12 +1013,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_column_mapping": q_s6_column_mapping,
         "a1_per_source_rollup": q_a1_per_source_rollup,
         "a4_match_statistics": q_a4_match_statistics,
-        "a5_value_counts_top": q_a5_value_counts_top,
-        "a7_a8_distinct_means": q_a7_a8_distinct_means,
+        "a5_a7_a8_value_stats": q_a5_a7_a8_value_stats,
         "a6_match_type_breakdown": q_a6_match_type_breakdown,
         "a9_insight_predicates": q_a9_insight_predicates,
-        "s7_sample_extraction": q_s7_sample_extraction,
-        "k3_base64_payload": q_k3_base64_payload,
+        "s7_k3_sample_payload": q_s7_k3_sample_payload,
         "s2_s3_excel_ingest": q_s2_s3_excel_ingest,
         "o1_global_sort_topk": q_o1_global_sort_topk,
     }
@@ -1186,16 +1231,16 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'es' END AS pred_lang
             FROM sc
         """,
-        "token_counts": f"""
-            WITH t AS (SELECT doc_id, text, {tokens} AS w FROM documents)
-            SELECT doc_id, len(w)::bigint AS n_tokens,
-                   (coalesce(list_sum(list_transform(w,
+        "text_tokens_fingerprint": f"""
+            WITH t AS (SELECT doc_id, text, {tokens} AS tw, {pt_w} AS w FROM documents),
+            s AS (SELECT doc_id, text, tw, {pt_sh} AS sh FROM t),
+            h AS (SELECT doc_id, text, tw, {PORT.sql_base_hashes('sh')} AS hs FROM s)
+            SELECT doc_id, len(tw)::bigint AS n_tokens,
+                   (coalesce(list_sum(list_transform(tw,
                        x -> greatest(ceil(length(x) / 6.0)::bigint, 1))), 0)
-                    + length(regexp_replace(text, '[^.,;:!?]', '', 'g')))::bigint AS n_subwords
-            FROM t
-        """,
-        "doc_fingerprint": f"""{sketch_cte}
-            SELECT doc_id, coalesce(list_min(hs), 0)::BIGINT AS fingerprint FROM h
+                    + length(regexp_replace(text, '[^.,;:!?]', '', 'g')))::bigint AS n_subwords,
+                   coalesce(list_min(hs), 0)::BIGINT AS fingerprint
+            FROM h
         """,
         "minhash_lsh_pairs": f"""{sketch_cte},
             g AS (SELECT doc_id, {PORT.sql_minhash_sig('hs')} AS sig FROM h),
@@ -1443,14 +1488,12 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * (SELECT count(*) FROM m)
                          / (SELECT count(*) FROM documents), 4) AS match_rate_pct
         """,
-        "a5_value_counts_top": """
-            SELECT event_type, count(*) AS n FROM events
-            GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
-        """,
-        "a7_a8_distinct_means": """
-            SELECT event_type, count(DISTINCT user_id) AS n_users,
+        "a5_a7_a8_value_stats": """
+            SELECT event_type, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY event_type
+            ORDER BY n DESC, event_type LIMIT 3
         """,
         "a6_match_type_breakdown": f"""{j1_cte},
             p1 AS (SELECT a.doc_id AS a, b.doc_id AS b FROM kc a JOIN kc b
@@ -1483,13 +1526,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT block_key, n_docs, total_chars FROM g
             WHERE n_docs >= 2 AND total_chars >= 1000
         """,
-        "s7_sample_extraction": """
-            SELECT doc_id, lang, source, n_chars FROM documents
-            ORDER BY doc_id LIMIT 5
-        """,
-        "k3_base64_payload": """
-            SELECT doc_id, to_base64(encode(substr(text, 1, 32))) AS payload_b64
-            FROM documents
+        "s7_k3_sample_payload": """
+            SELECT doc_id, lang, source, n_chars,
+                   to_base64(encode(substr(text, 1, 32))) AS payload_b64
+            FROM documents ORDER BY doc_id LIMIT 5
         """,
         "s2_s3_excel_ingest": """
             SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 50
@@ -1533,6 +1573,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT score_bucket, n_pairs,
                    round(100.0 * n_pairs / sum(n_pairs) OVER (), 4) AS pct
             FROM g ORDER BY score_bucket
+        """,
+        "charts_expiry_timeline": """
+            WITH s AS (SELECT o_orderkey,
+                              CASE o_orderkey % 4
+                                WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                                WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                                WHEN 2 THEN strftime(o_orderdate, '%m/%d/%Y')
+                                ELSE 'Not specified' END AS end_raw,
+                              o_totalprice AS value
+                       FROM orders),
+            p AS (SELECT o_orderkey, value,
+                         coalesce(try_strptime(end_raw, '%Y-%m-%d'),
+                                  try_strptime(end_raw, '%Y-%m-%d %H:%M:%S'),
+                                  try_strptime(end_raw, '%m/%d/%Y'))::DATE AS end_date
+                  FROM s
+                  WHERE end_raw IS NOT NULL AND end_raw <> 'Not specified')
+            SELECT o_orderkey, end_date, value,
+                   round(least(20.0, greatest(8.0, value / 50000.0)), 6) AS marker_size
+            FROM p WHERE end_date IS NOT NULL
+        """,
+        "charts_summary_metrics": """
+            WITH m AS (SELECT o_totalprice AS vendor_value,
+                              round(o_totalprice::DECIMAL(18,2)
+                                    * 0.85::DECIMAL(3,2), 2)::DOUBLE AS client_value
+                       FROM orders WHERE o_orderstatus = 'F'),
+            t AS (SELECT count(*) AS nc FROM orders)
+            SELECT (SELECT count(*) FROM m)::BIGINT AS n_matched,
+                   nc::BIGINT AS n_candidates,
+                   round(100.0 * (SELECT count(*) FROM m) / greatest(nc, 1), 4)
+                     AS success_rate_pct,
+                   round((SELECT sum(vendor_value::DECIMAL(18,6)) FROM m), 2)::DOUBLE
+                     AS total_vendor_value,
+                   round((SELECT sum(client_value::DECIMAL(18,6)) FROM m), 2)::DOUBLE
+                     AS total_client_value
+            FROM t
         """,
         "q5_regional_revenue": """
             SELECT r.r_name, n.n_name,

@@ -297,7 +297,9 @@ def make_extract_sketch_udf(
         minhash_k = MINHASH_K
     fields = list(_EXTRACT_SKETCH_SCHEMA.fields)
     if not emit_extracted:
-        fields = fields[1:]
+        # drop by NAME, not position — the correctness of the slim schema
+        # must not couple to extracted_text staying field 0
+        fields = [f for f in fields if f.name != "extracted_text"]
     schema = T.StructType(fields)
 
     @F.pandas_udf(schema)

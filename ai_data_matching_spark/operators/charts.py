@@ -103,8 +103,18 @@ def expiry_timeline_data(
     ``pd.to_datetime(errors='coerce')``), keep parseable rows, and emit
     the bounded marker size ``min(20, max(8, value/50000))`` the scatter
     uses. Ordering is left to the consumer (a global sort of all rows is
-    the renderer's concern, not the engine's)."""
-    parsed = F.try_to_timestamp(F.col(date_col).cast("string"), F.lit("yyyy-MM-dd"))
+    the renderer's concern, not the engine's).
+
+    Accepted date formats (coalesced null-on-failure, first match wins):
+    ``yyyy-MM-dd``, ``yyyy-MM-dd HH:mm:ss``, ``MM/dd/yyyy`` — the common
+    shapes ``pd.to_datetime`` coerces in the reference's exports. Anything
+    else is dropped, as ``errors='coerce'`` would drop it."""
+    raw = F.col(date_col).cast("string")
+    parsed = F.coalesce(
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(raw, F.lit("MM/dd/yyyy")),
+    )
     return (
         matches.filter(F.col(date_col).isNotNull() & (F.col(date_col) != sentinel))
         .withColumn("end_date", parsed.cast("date"))
@@ -127,15 +137,23 @@ def summary_metrics_data(
     client_value_col: str,
 ) -> DataFrame:
     """One-row summary dashboard frame (charts.py:271-305): match success
-    rate against the candidate universe + total value breakdown."""
+    rate against the candidate universe + total value breakdown.
+
+    Value totals sum in DECIMAL (exact, order-independent) and cast back
+    to double: a naive double sum over millions of rows is partition-
+    order-dependent in its last bits, so the same data would report
+    different totals run-to-run."""
+    exact_sum = lambda c: F.round(  # noqa: E731
+        F.sum(F.col(c).cast("decimal(18,6)")), 2
+    ).cast("double")
     return matches.agg(
         F.count("*").alias("n_matched"),
-        F.lit(int(total_candidates)).alias("n_candidates"),
+        F.lit(int(total_candidates)).cast("long").alias("n_candidates"),
         F.round(F.lit(100.0) * F.count("*") / F.lit(max(int(total_candidates), 1)), 4).alias(
             "success_rate_pct"
         ),
-        F.round(F.sum(vendor_value_col), 2).alias("total_vendor_value"),
-        F.round(F.sum(client_value_col), 2).alias("total_client_value"),
+        exact_sum(vendor_value_col).alias("total_vendor_value"),
+        exact_sum(client_value_col).alias("total_client_value"),
     )
 
 

@@ -174,17 +174,24 @@ def connected_components(
         # driver — a big graph costs the driver nothing (an earlier
         # one-job form collected up to threshold+1 url-string pairs, i.e.
         # hundreds of MB of driver Arrow, then discarded them on the big
-        # path). The price is a second scan on the SMALL path to fetch the
-        # actual edge strings — cheap by construction (≤ threshold rows,
-        # and `edges` is a committed snapshot / tracked persist in every
-        # pipeline caller, so the rescan reads cache, not lineage).
+        # path). `slim` is persisted before the probe so the follow-up
+        # scan (toArrow on the small path, iteration-0 checkpoint on the
+        # big path) reads the cached distinct() output instead of
+        # re-running the shuffle — connected_components is public API and
+        # a direct caller's `edges` need not be a committed snapshot.
         # Driver memory on the small path is bounded by
         # small_graph_threshold × (2 urls ≈ 130 B) ≈ 260 MB at the 2M
         # default — size the threshold to the driver when overriding.
-        probe_n = slim.limit(small_graph_threshold + 1).count()
-        if probe_n <= small_graph_threshold:
-            return _union_find_arrow(slim.toArrow(), edges.sparkSession), 0
-    cur = checkpoint_fn(slim, 0)
+        slim = slim.persist()
+        try:
+            probe_n = slim.limit(small_graph_threshold + 1).count()
+            if probe_n <= small_graph_threshold:
+                return _union_find_arrow(slim.toArrow(), edges.sparkSession), 0
+            cur = checkpoint_fn(slim, 0)
+        finally:
+            slim.unpersist()
+    else:
+        cur = checkpoint_fn(slim, 0)
     prev_fp = _fingerprint(cur)
     iterations = 0
     for it in range(1, max_iterations + 1):

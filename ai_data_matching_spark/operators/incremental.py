@@ -8,11 +8,16 @@ checkpoint layer). Re-running the full pipeline over history ∪ batch
 re-scores O(history) pairs to add O(batch) new ones. This module scores
 only pairs that TOUCH the new batch:
 
-* blocking — the batch is sketched with the same fused Arrow kernel,
-  unioned with the prior ``blocked`` snapshot under an ``_is_new`` flag;
-  hot-key (skew) exclusion is computed over the UNION block sizes, i.e.
-  the same cap decisions a full recompute over history ∪ batch would
-  make for the new pairs.
+* blocking — the batch is sketched with the same fused Arrow kernel and
+  classified against the committed state BY CONTENT: byte-identical
+  replays are dropped (no-op), re-crawls with changed content REPLACE
+  the prior row (latest crawl wins) and are rescored, stale out-of-order
+  crawls are dropped; everything kept is unioned with the surviving
+  prior ``blocked`` snapshot under an ``_is_new`` flag. Hot-key (skew)
+  exclusion is computed over the UNION block sizes, i.e. the same cap
+  decisions a full recompute over history ∪ batch would make for the
+  new pairs. Per-batch ingest counts (new / changed / dropped) are
+  committed as a ``batch_ingest_*`` metric.
 * candidate generation — an asymmetric equi-join: new-side keys against
   all-side keys, so old-old pairs are never materialized. Orientation,
   Hamming prefilter, cross-key dedup and payload attach are shared with
@@ -218,18 +223,34 @@ def run_incremental(
         return df
 
     # batch sketching: same fused kernel + key derivation as the pipeline.
-    # urls already in the committed state are dropped (left_anti) BEFORE
-    # sketching, and within-batch url duplicates collapse to one
-    # deterministic row — so a replayed epoch (crash between the snapshot
-    # manifest commit and the stream checkpoint commit) or a re-crawled
-    # page is a true no-op in state: assigned/clusters/match_statistics
-    # never double-count, matching the retry-idempotence contract in
-    # streaming/resolve.py.
+    # Incoming rows are classified against the committed state by CONTENT,
+    # not just url (ADVICE r03 — a url-only anti-join silently dropped
+    # re-crawled pages whose content changed, so their new sketches never
+    # updated edges/clusters):
+    #   * url absent from state                        → 'new'
+    #   * url present, identical norm_text+simhash     → replay, dropped
+    #     (true no-op: a replayed epoch — crash between the snapshot
+    #     manifest commit and the stream checkpoint commit — never
+    #     double-counts assigned/clusters/match_statistics)
+    #   * url present, content CHANGED, crawl newer    → 'changed': the
+    #     batch row REPLACES the prior blocked row (latest crawl wins,
+    #     same deterministic max-struct rule as within-batch dedup) and
+    #     is rescored like a new page. Prior edges from the old content
+    #     are never retracted (monotone contract — clusters only coarsen;
+    #     documented divergence, same class as best_match_only top-1).
+    #   * url present, content changed, crawl OLDER    → stale
+    #     out-of-order delivery, dropped.
+    # Per-batch ingest counts are written as a metric so replay/stale
+    # volume is visible (write happens after the stage, from the cheap
+    # committed snapshot — see batch_ingest metric below).
+    rest = [c for c in BLOCKED_COLS if c != "url"]
+
     def _blocked_union() -> DataFrame:
+        from ..cache import persist_tracked
+
         prior_blocked = _prior("blocked").select(*BLOCKED_COLS)
-        fresh = new_pages.join(prior_blocked.select("url"), "url", "left_anti")
         batch = with_extract_sketch_keys(
-            fresh,
+            new_pages,
             n_simhash_bands=cfg.n_simhash_bands,
             minhash_k=cfg.minhash_k,
             # extracted_text is dropped by the BLOCKED_COLS projection —
@@ -240,17 +261,69 @@ def run_incremental(
         # within-batch dedup by url: max(struct(rest)) is a deterministic
         # pick (latest warc_ts wins; every BLOCKED_COL type is orderable),
         # unlike dropDuplicates' partition-order-dependent row choice
-        rest = [c for c in BLOCKED_COLS if c != "url"]
         batch = (
             batch.groupBy("url")
             .agg(F.max(F.struct(*rest)).alias("_m"))
             .select("url", *[F.col(f"_m.{c}").alias(c) for c in rest])
         )
-        return prior_blocked.withColumn("_is_new", F.lit(False)).unionByName(
-            batch.withColumn("_is_new", F.lit(True))
+        prior_keyed = prior_blocked.select(
+            "url",
+            F.struct(*[F.col(c) for c in rest]).alias("_prior_m"),
+            F.lit(True).alias("_in_prior"),
+        )
+        cmp = batch.join(prior_keyed, "url", "left")
+        same_content = F.col("norm_text").eqNullSafe(
+            F.col("_prior_m.norm_text")
+        ) & F.col("simhash").eqNullSafe(F.col("_prior_m.simhash"))
+        status = (
+            F.when(F.col("_in_prior").isNull(), F.lit("new"))
+            .when(same_content, F.lit("replay"))
+            .when(F.struct(*[F.col(c) for c in rest]) > F.col("_prior_m"), F.lit("changed"))
+            .otherwise(F.lit("stale"))
+        )
+        # persisted: consumed twice below (union branch + changed-url
+        # anti-join) — without it the batch Arrow sketch runs twice
+        kept = persist_tracked(
+            cmp.withColumn("_batch_status", status)
+            .filter(F.col("_batch_status").isin("new", "changed"))
+            .select("url", *rest, "_batch_status")
+        )
+        changed_urls = kept.filter(F.col("_batch_status") == "changed").select("url")
+        prior_keep = prior_blocked.join(changed_urls, "url", "left_anti")
+        return (
+            prior_keep.withColumn("_is_new", F.lit(False))
+            .withColumn("_batch_status", F.lit(None).cast("string"))
+            .unionByName(kept.withColumn("_is_new", F.lit(True)))
         )
 
     blocked = stage("blocked", _blocked_union)
+
+    # ingest observability: new / changed(updated) / dropped(replay|stale)
+    # per batch. Cheap by construction — one scan of the slim committed
+    # snapshot plus a column-pruned distinct over the batch urls; guarded
+    # so resuming a snapshot committed by a pre-status code version skips
+    # the metric instead of failing.
+    if "_batch_status" in blocked.columns:
+        n_batch_urls = new_pages.select("url").distinct().count()
+        by_status = {
+            r["_batch_status"]: r["n"]
+            for r in blocked.filter(F.col("_is_new"))
+            .groupBy("_batch_status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_new = int(by_status.get("new", 0))
+        n_changed = int(by_status.get("changed", 0))
+        io.write_metric(
+            spark.createDataFrame(
+                [(batch_id, n_batch_urls, n_new, n_changed,
+                  n_batch_urls - n_new - n_changed)],
+                "batch_id string, batch_urls long, new_urls long, "
+                "recrawl_changed long, dropped_replay_or_stale long",
+            ),
+            "blocked",
+            f"batch_ingest_{batch_id}",
+        )
 
     def _edges() -> DataFrame:
         prior_edges = _prior("edges")

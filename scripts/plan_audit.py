@@ -95,10 +95,20 @@ CHECKS = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         "note": "exact∪fuzzy union rolled up with partial+final agg; both pair joins equi + capped",
     },
-    "s7_sample_extraction": {
+    "s7_k3_sample_payload": {
         "expect": ["TakeOrderedAndProject"],
         "forbid": ["BatchEvalPython"],
         "note": "preview = per-partition heaps, no global sort",
+    },
+    "a5_a7_a8_value_stats": {
+        "expect": ["TakeOrderedAndProject"],
+        "forbid": ["BatchEvalPython"],
+        "note": "grouped stats top-k = partial agg + per-partition heaps",
+    },
+    "charts_expiry_timeline": {
+        "expect": ["WholeStageCodegen"],
+        "forbid": ["BatchEvalPython", "Exchange"],
+        "note": "pure per-row projection+filter in codegen — no shuffle at any scale",
     },
     "ann_cosine_topk": {
         "expect": ["BroadcastNestedLoopJoin"],

@@ -110,6 +110,73 @@ def test_replayed_batch_is_noop_in_state(spark, pages_small, tmp_path):
     assert s1 == s2
 
 
+def test_recrawl_changed_content_updates_state(spark, tmp_path):
+    """Content-aware ingest (ADVICE r03): a re-crawled url whose content
+    CHANGED must replace its blocked row and be rescored (its new sketches
+    reach edges/clusters); a byte-identical replay and a stale
+    out-of-order older crawl are dropped; the per-batch ingest metric
+    records all of it."""
+    import datetime as dt
+
+    import os
+
+    def mk(url, day, body):
+        html = f"<html><body><p>{body}</p></body></html>".encode()
+        return (url, dt.datetime(2026, 1, 1) + dt.timedelta(days=day), html, None, "en")
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    body_a = "alpha beta gamma delta epsilon zeta eta theta"
+    body_b = "one two three four five six seven eight nine"
+    body_c = "totally different unrelated words appear here instead now"
+    base = spark.createDataFrame(
+        [
+            mk("http://a.com/1", 0, body_a),
+            mk("http://a.com/2", 0, body_a),   # exact pair with a.com/1
+            mk("http://b.com/1", 0, body_b),
+            mk("http://c.com/1", 0, body_c),
+        ],
+        schema,
+    )
+    io = TableIO(str(tmp_path / "snaps"))
+    run_pipeline(spark, base, io=io, cfg=CFG)
+
+    batch = spark.createDataFrame(
+        [
+            mk("http://c.com/1", 10, body_b),  # re-crawl, CHANGED → matches b.com/1
+            mk("http://a.com/1", 10, body_a),  # byte-identical replay → dropped
+            mk("http://a.com/2", -5, body_c),  # OLDER crawl, changed → stale, dropped
+            mk("http://d.com/1", 10, "brand new page never seen before today"),
+        ],
+        schema,
+    )
+    inc = run_incremental(spark, batch, io, "b1", cfg=CFG)
+
+    # the changed c.com/1 was rescored with its NEW content → co-clustered
+    # with b.com/1; the stale a.com/2 crawl did NOT break the exact pair
+    parts = _partition(inc.assigned)
+    containing = {u: p for p in parts for u in p}
+    assert containing["http://c.com/1"] == containing["http://b.com/1"]
+    assert containing["http://a.com/1"] == containing["http://a.com/2"]
+    assert len(containing["http://d.com/1"]) == 1
+    assert inc.assigned.count() == 5  # one row per url, no duplicates
+
+    # the blocked state carries c.com/1's NEW content (simhash == b.com/1's)
+    blocked = io.read_snapshot(spark, io.last_committed("blocked", inc.fingerprint))
+    sims = {r["url"]: r["simhash"] for r in blocked.select("url", "simhash").collect()}
+    assert sims["http://c.com/1"] == sims["http://b.com/1"]
+
+    # ingest metric: 4 batch urls → 1 new, 1 changed, 2 dropped
+    metric_path = os.path.join(str(tmp_path / "snaps"), "_metrics", "blocked", "batch_ingest_b1")
+    m = spark.read.parquet(metric_path).collect()[0].asDict()
+    assert m == {
+        "batch_id": "b1",
+        "batch_urls": 4,
+        "new_urls": 1,
+        "recrawl_changed": 1,
+        "dropped_replay_or_stale": 2,
+    }
+
+
 def test_gc_compacted_chain_still_resumes(spark, pages_small, tmp_path):
     """Snapshot retention: gc(keep_last=1) keeps the chain head; a killed
     re-run of the head batch still resumes from its snapshots, and the
