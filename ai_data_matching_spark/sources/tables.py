@@ -2,20 +2,33 @@
 
 The north rule requires every stage to checkpoint with per-partition
 lineage + metrics so a killed run resumes from the last committed
-snapshot. On a cluster this layer binds to Iceberg
-(``df.writeTo(tbl).createOrReplace()`` + snapshot ids); this sandbox has
-no Iceberg runtime jar, so ``TableIO`` implements the same contract over
-a directory of parquet snapshots with an atomic JSON commit manifest:
+snapshot. Storage is a pluggable backend behind one commit/read/drop
+seam:
 
-    <root>/<stage>/<snapshot_id>/data.parquet      (the stage output)
-    <root>/<stage>/<snapshot_id>/lineage.parquet   (per-partition rows)
-    <root>/_commits.json                           (atomic rename commit)
+* ``ParquetSnapshotBackend`` (sandbox default — no Iceberg runtime jar
+  here): snapshots as parquet directories with an atomic JSON commit
+  manifest:
 
-A snapshot is visible only once its manifest entry lands (write-temp +
-os.replace = atomic on POSIX — same publish-on-commit semantics as an
-Iceberg snapshot). Resume = read manifest, match (stage, fingerprint),
-skip recompute. The fingerprint covers the stage's config so a changed
-threshold invalidates downstream snapshots.
+      <root>/<stage>/<snapshot_id>/data.parquet      (the stage output)
+      <root>/<stage>/<snapshot_id>/lineage.parquet   (per-partition rows)
+      <root>/_commits.json                           (atomic rename commit)
+
+* ``IcebergSnapshotBackend`` (cluster binding): snapshots as Iceberg
+  tables via ``df.writeTo(ident).using("iceberg").createOrReplace()``,
+  dropped on gc with ``DROP TABLE`` — requires an Iceberg catalog
+  configured on the session (``spark.sql.catalog.<name>`` extensions),
+  which this sandbox lacks, so its write path is exercised only by the
+  skip-marked integration test while the ident/DDL wiring is unit-tested.
+
+Either way, a snapshot is visible only once its manifest entry lands
+(write-temp + os.replace = atomic on POSIX — same publish-on-commit
+semantics as an Iceberg snapshot commit). Resume = read manifest, match
+(stage, fingerprint), skip recompute. The fingerprint covers the stage's
+config so a changed threshold invalidates downstream snapshots. The
+manifest itself stays a root-path JSON file in both backends: Iceberg
+provides table-level snapshot ids, but the cross-STAGE chain (which
+fingerprint is the stream head, what config committed it) is this
+layer's own metadata either way.
 """
 
 from __future__ import annotations
@@ -35,6 +48,125 @@ def config_fingerprint(payload: dict) -> str:
     return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 
+class ParquetSnapshotBackend:
+    """Default storage binding: parquet dirs under ``root`` (see module
+    docstring). Locator field in manifest records: ``path``."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def write_snapshot(self, df: DataFrame, stage: str, snapshot_id: str) -> dict:
+        path = os.path.join(self.root, stage, snapshot_id, "data.parquet")
+        df.write.mode("overwrite").parquet(path)
+        return {"path": path}
+
+    def write_lineage(self, df: DataFrame, stage: str, snapshot_id: str) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.root, stage, snapshot_id, "lineage.parquet")
+        )
+
+    def read_snapshot(self, spark: SparkSession, rec: dict) -> DataFrame:
+        return spark.read.parquet(rec["path"])
+
+    def drop_snapshot(self, rec: dict, spark: SparkSession | None = None) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.dirname(rec["path"]), ignore_errors=True)
+
+    def write_metric(self, df: DataFrame, stage: str, name: str) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.root, "_metrics", stage, name)
+        )
+
+    def prune_metrics(self, cutoff_ts: float) -> int:
+        """Drop metric frames last written before ``cutoff_ts`` (epoch
+        seconds); returns how many were dropped."""
+        import shutil
+
+        dropped = 0
+        mroot = os.path.join(self.root, "_metrics")
+        if not os.path.isdir(mroot):
+            return 0
+        for stage in os.listdir(mroot):
+            sdir = os.path.join(mroot, stage)
+            if not os.path.isdir(sdir):
+                continue
+            for name in os.listdir(sdir):
+                mdir = os.path.join(sdir, name)
+                if os.path.getmtime(mdir) < cutoff_ts:
+                    shutil.rmtree(mdir, ignore_errors=True)
+                    dropped += 1
+        return dropped
+
+
+class IcebergSnapshotBackend:
+    """Cluster storage binding: one Iceberg table per stage snapshot.
+
+    ``catalog`` must name a catalog configured on the SparkSession
+    (e.g. ``spark.sql.catalog.prod = org.apache.iceberg.spark.SparkCatalog``
+    + warehouse conf). Locator field in manifest records: ``table``.
+    Construction takes the session because drops run SQL DDL (gc has no
+    DataFrame in hand to recover one from).
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str = "er_snapshots"):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+
+    # -- ident plumbing (unit-testable without an Iceberg jar) -----------
+    def table_ident(self, stage: str, snapshot_id: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}_{snapshot_id}"
+
+    def lineage_ident(self, stage: str, snapshot_id: str) -> str:
+        return self.table_ident(stage, snapshot_id) + "_lineage"
+
+    def metric_ident(self, stage: str, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}._metrics_{stage}_{name}"
+
+    def drop_ddl(self, ident: str) -> str:
+        return f"DROP TABLE IF EXISTS {ident}"
+
+    # -- storage ops ------------------------------------------------------
+    def write_snapshot(self, df: DataFrame, stage: str, snapshot_id: str) -> dict:
+        ident = self.table_ident(stage, snapshot_id)
+        df.writeTo(ident).using("iceberg").createOrReplace()
+        return {"table": ident}
+
+    def write_lineage(self, df: DataFrame, stage: str, snapshot_id: str) -> None:
+        df.writeTo(self.lineage_ident(stage, snapshot_id)).using("iceberg").createOrReplace()
+
+    def read_snapshot(self, spark: SparkSession, rec: dict) -> DataFrame:
+        return spark.read.table(rec["table"])
+
+    def drop_snapshot(self, rec: dict, spark: SparkSession | None = None) -> None:
+        s = spark or self.spark
+        s.sql(self.drop_ddl(rec["table"]))
+        s.sql(self.drop_ddl(rec["table"] + "_lineage"))
+
+    def write_metric(self, df: DataFrame, stage: str, name: str) -> None:
+        df.writeTo(self.metric_ident(stage, name)).using("iceberg").createOrReplace()
+
+    def prune_metrics(self, cutoff_ts: float) -> int:
+        """Drop metric tables whose latest Iceberg snapshot committed
+        before ``cutoff_ts`` — age comes from the table's own
+        ``.snapshots`` metadata, the Iceberg-native equivalent of the
+        parquet backend's directory mtime."""
+        dropped = 0
+        tables = self.spark.sql(
+            f"SHOW TABLES IN {self.catalog}.{self.namespace} LIKE '_metrics_*'"
+        ).collect()
+        for row in tables:
+            ident = f"{self.catalog}.{self.namespace}.{row['tableName']}"
+            last = self.spark.sql(
+                f"SELECT max(committed_at) AS ts FROM {ident}.snapshots"
+            ).collect()[0]["ts"]
+            if last is not None and last.timestamp() < cutoff_ts:
+                self.spark.sql(self.drop_ddl(ident))
+                dropped += 1
+        return dropped
+
+
 @dataclass
 class CommitRecord:
     stage: str
@@ -46,10 +178,11 @@ class CommitRecord:
 
 
 class TableIO:
-    def __init__(self, root: str):
+    def __init__(self, root: str, backend=None):
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_commits.json")
+        self.backend = backend if backend is not None else ParquetSnapshotBackend(root)
 
     # -- manifest ----------------------------------------------------------
     def _read_manifest(self) -> list[dict]:
@@ -83,12 +216,10 @@ class TableIO:
         into the manifest record (e.g. ``cfg_fp``, the config fingerprint a
         restarted stream validates before chaining onto this state)."""
         snapshot_id = uuid.uuid4().hex[:12]
-        snap_dir = os.path.join(self.root, stage, snapshot_id)
-        data_path = os.path.join(snap_dir, "data.parquet")
-        df.write.mode("overwrite").parquet(data_path)
+        locator = self.backend.write_snapshot(df, stage, snapshot_id)
 
         spark = df.sparkSession
-        committed = spark.read.parquet(data_path)
+        committed = self.backend.read_snapshot(spark, locator)
         lineage = (
             committed.withColumn("_part", F.spark_partition_id())
             .groupBy("_part")
@@ -96,7 +227,7 @@ class TableIO:
             .withColumn("stage", F.lit(stage))
             .withColumn("snapshot_id", F.lit(snapshot_id))
         )
-        lineage.write.mode("overwrite").parquet(os.path.join(snap_dir, "lineage.parquet"))
+        self.backend.write_lineage(lineage, stage, snapshot_id)
         row_count = committed.count()
         n_parts = committed.rdd.getNumPartitions()
         self._append_manifest(
@@ -107,14 +238,14 @@ class TableIO:
                 "row_count": row_count,
                 "n_partitions": n_parts,
                 "committed_at": time.time(),
-                "path": data_path,
+                **locator,
                 **(extra or {}),
             }
         )
         return committed
 
     def read_snapshot(self, spark: SparkSession, rec: dict) -> DataFrame:
-        return spark.read.parquet(rec["path"])
+        return self.backend.read_snapshot(spark, rec)
 
     def read_or_compute(
         self,
@@ -135,21 +266,23 @@ class TableIO:
         return self.commit(compute(), stage, fingerprint, extra=extra), False
 
     def write_metric(self, df: DataFrame, stage: str, name: str) -> None:
-        path = os.path.join(self.root, "_metrics", stage, name)
-        df.write.mode("overwrite").parquet(path)
+        self.backend.write_metric(df, stage, name)
 
     # -- retention ---------------------------------------------------------
-    def gc(self, keep_last: int = 3) -> dict:
+    def gc(self, keep_last: int = 3, metrics_keep_days: float | None = None) -> dict:
         """Expire old snapshots: keep the last ``keep_last`` fingerprints
         (by first-commit order) plus the chain head (the fingerprint of
         the newest ``labels`` record — what a restarted stream chains on).
 
         Without retention a continuous-ER deployment grows storage without
         bound: every epoch commits blocked/edges/labels snapshots forever.
-        (``_metrics`` frames are outside retention: they are per-epoch
-        kilobyte-scale aggregates — counts and score histograms — whose
-        history IS the observability record; prune by age externally if
-        a deployment ever cares.)
+        ``_metrics`` frames (per-epoch kilobyte-scale aggregates — counts
+        and score histograms — whose history IS the observability record)
+        are kept by default; pass ``metrics_keep_days`` to also prune
+        metric frames older than that age, bounding the observability
+        store for a long-running continuous-ER deployment. Metrics are
+        write-once observability outputs, never read by resume, so
+        pruning them can never invalidate a snapshot chain.
         Crash-safe ordering: the compacted manifest is PUBLISHED first
         (atomic os.replace), then dropped snapshot directories are
         deleted — a crash in between leaves orphan directories (harmless,
@@ -157,8 +290,6 @@ class TableIO:
         data. Same publish-then-expire discipline as Iceberg's
         ``expireSnapshots``.
         """
-        import shutil
-
         records = self._read_manifest()
         fps: list[str] = []
         for rec in records:
@@ -179,10 +310,17 @@ class TableIO:
             json.dump(kept, f, indent=1)
         os.replace(tmp, self._manifest_path)  # publish BEFORE deleting data
         for rec in dropped:
-            shutil.rmtree(os.path.dirname(rec["path"]), ignore_errors=True)
+            self.backend.drop_snapshot(rec)
+
+        metrics_dropped = 0
+        if metrics_keep_days is not None:
+            metrics_dropped = self.backend.prune_metrics(
+                time.time() - metrics_keep_days * 86400.0
+            )
         return {
             "kept_records": len(kept),
             "dropped_records": len(dropped),
             "kept_fingerprints": sorted(keep),
             "chain_head": head,
+            "metrics_dropped": metrics_dropped,
         }
