@@ -106,7 +106,7 @@ CHECKS = {
         "note": "grouped stats top-k = partial agg + per-partition heaps",
     },
     "charts_expiry_timeline": {
-        "expect": ["WholeStageCodegen"],
+        "expect": ["[codegen id :"],  # formatted explain's codegen-span marker
         "forbid": ["BatchEvalPython", "Exchange"],
         "note": "pure per-row projection+filter in codegen — no shuffle at any scale",
     },

@@ -65,6 +65,23 @@ def test_expiry_timeline_filters_and_marker(spark):
     assert r["marker_size"] == 20.0   # ceiling clamp
 
 
+def test_expiry_timeline_accepts_common_formats(spark):
+    """The coercion mirrors pd.to_datetime(errors='coerce') on the three
+    shapes reference exports actually contain: date, datetime, slashed
+    (ADVICE r03 — only yyyy-MM-dd parsed before, silently dropping the
+    rest)."""
+    rows = [
+        ("iso", 1.0, "2026-01-15"),
+        ("dt", 1.0, "2026-01-15 00:00:00"),
+        ("us", 1.0, "01/15/2026"),
+        ("junk", 1.0, "15 Jan 2026"),   # not an accepted shape → dropped
+    ]
+    df = spark.createDataFrame(rows, "name string, value double, end_date string")
+    got = {r["name"]: r["end_date"] for r in
+           expiry_timeline_data(df, "end_date", "value", "name").collect()}
+    assert got == {k: datetime.date(2026, 1, 15) for k in ("iso", "dt", "us")}
+
+
 def test_summary_and_quality(spark):
     m = _matches(spark)
     s = summary_metrics_data(m, total_candidates=10, vendor_value_col="vendor_v",
