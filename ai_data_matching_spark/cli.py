@@ -51,6 +51,17 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
         "or pass a previous batch's printed fingerprint",
     )
     p.add_argument("--output-prefix", help="write assigned/clusters/edges/stats here")
+    p.add_argument(
+        "--iceberg-catalog",
+        help="bind stage snapshots to Iceberg tables in this configured "
+        "catalog (spark.sql.catalog.<name> must be set on the session); "
+        "default is parquet-dir snapshots under --checkpoint-root",
+    )
+    p.add_argument(
+        "--iceberg-namespace",
+        default="er_snapshots",
+        help="namespace for snapshot tables under --iceberg-catalog",
+    )
     p.add_argument("--fuzzy-threshold", type=float, default=None)
     p.add_argument("--max-block-size", type=int, default=None)
     p.add_argument("--master", default=None, help="override master (default: spark-submit's)")
@@ -58,12 +69,30 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def _make_io(spark, args: argparse.Namespace):
+    """Checkpoint layer from CLI flags: parquet-dir snapshots by default,
+    Iceberg tables when --iceberg-catalog names a configured catalog.
+    (The manifest JSON lives under --checkpoint-root either way — see
+    sources/tables.py module docstring.)"""
+    from .sources.tables import TableIO
+
+    if not args.checkpoint_root:
+        return None
+    backend = None
+    if args.iceberg_catalog:
+        from .sources.tables import IcebergSnapshotBackend
+
+        backend = IcebergSnapshotBackend(
+            spark, args.iceberg_catalog, args.iceberg_namespace
+        )
+    return TableIO(args.checkpoint_root, backend=backend)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _parse_args(argv if argv is not None else sys.argv[1:])
 
     from .pipeline import PipelineConfig, run_pipeline
     from .session import build_session
-    from .sources.tables import TableIO
 
     spark = build_session(
         app_name="ai-data-matching-pipeline",
@@ -87,7 +116,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["max_block_size"] = args.max_block_size
     cfg = PipelineConfig(**cfg_kwargs)
 
-    io = TableIO(args.checkpoint_root) if args.checkpoint_root else None
+    io = _make_io(spark, args)
     t0 = time.perf_counter()
     if args.incremental_batch:
         if io is None:

@@ -133,6 +133,7 @@ def main() -> None:
     ratio = r_high["docs_per_sec"] / r_low["docs_per_sec"]
     eff = ratio / (high / low)
     report = {
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
         "n_pages": n_pages,
         "low": r_low,
         "high": r_high,
@@ -143,6 +144,8 @@ def main() -> None:
         "passed": eff >= 0.8,
         "wall_s": round(time.time() - t0, 1),
     }
+    if os.environ.get("SCALING_NOTE"):
+        report["note"] = os.environ["SCALING_NOTE"]
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -62,3 +62,27 @@ def test_cli_incremental_chains_on_base(spark, tmp_path, capsys):
 def test_cli_incremental_requires_checkpoint(capsys):
     rc = main(["--synth-pages", "50", "--incremental-batch", "b1"])
     assert rc == 2
+
+
+def test_cli_backend_selection(spark, tmp_path):
+    """--iceberg-catalog binds TableIO to the Iceberg adapter (ident
+    plumbing only — no jar in this sandbox); default stays parquet."""
+    from ai_data_matching_spark.cli import _make_io, _parse_args
+    from ai_data_matching_spark.sources.tables import (
+        IcebergSnapshotBackend,
+        ParquetSnapshotBackend,
+    )
+
+    root = str(tmp_path / "ck")
+    args = _parse_args(["--synth-pages", "10", "--checkpoint-root", root])
+    assert isinstance(_make_io(spark, args).backend, ParquetSnapshotBackend)
+
+    args = _parse_args(
+        ["--synth-pages", "10", "--checkpoint-root", root,
+         "--iceberg-catalog", "prod", "--iceberg-namespace", "er"]
+    )
+    be = _make_io(spark, args).backend
+    assert isinstance(be, IcebergSnapshotBackend)
+    assert be.table_ident("blocked", "x1") == "prod.er.blocked_x1"
+
+    assert _make_io(spark, _parse_args(["--synth-pages", "10"])) is None
