@@ -383,9 +383,13 @@ def q_mm_binary_meta(spark, sf_dir):
             out.append(encode_png(w, h, px, 3))
         return pd.Series(out)
 
-    from ai_data_matching_spark.partitioning import fan_out
-
-    media = fan_out(d.select("doc_id")).select(
+    # no fan_out here (unlike the sketch-heavy queries): the per-row
+    # encode+decode is ~50 µs, far too light to amortize a repartition
+    # shuffle + 32-task scheduling of two Python stages at test scale
+    # (measured 2.1 s → 3.6 s WITH the fan-out at sf0.1), and at
+    # production scale the scan already yields ≥ parallelism splits so
+    # the fan-out is a plan no-op there — it buys nothing at either end.
+    media = d.select("doc_id").select(
         "doc_id", make_png(F.col("doc_id")).alias("payload")
     )
     stats = extract_image_stats(media, id_col="doc_id", payload_col="payload").select(
@@ -430,9 +434,9 @@ def q_mm_audio_meta(spark, sf_dir):
                 out.append(encode_wav(rate, nch, 16, b"\x00" * (1000 + (did % 97) * 64)))
         return pd.Series(out)
 
-    from ai_data_matching_spark.partitioning import fan_out
-
-    media = fan_out(d.select("doc_id")).select(
+    # no fan_out: RIFF header encode/parse is even lighter than the PNG
+    # case — see the rationale on q_mm_binary_meta
+    media = d.select("doc_id").select(
         "doc_id", make_media(F.col("doc_id")).alias("payload")
     )
     return extract_media_metadata(media, id_col="doc_id", payload_col="payload").select(
