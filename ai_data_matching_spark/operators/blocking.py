@@ -221,7 +221,14 @@ def candidate_pairs(
         F.col("simhash"),
         F.explode("block_keys").alias("block_key"),
     )
-    hot = hot_keys(sel.select("block_key", "uid"), max_block_size)
+    # persisted: the hot-key frame is tiny (keys above the cap) but its
+    # input scan is O(corpus × keys) — and it is consumed twice, as the
+    # broadcast exclusion below AND as the caller's overflow metric (a
+    # separate action). Without the persist each action repeats the full
+    # explode + partial-agg scan.
+    from ..cache import persist_tracked
+
+    hot = persist_tracked(hot_keys(sel.select("block_key", "uid"), max_block_size))
     cold = sel.join(F.broadcast(hot.select("block_key")), "block_key", "left_anti")
 
     a = cold.select("block_key", F.col("uid").alias("uid_a"), F.col("simhash").alias("_sh_a"))

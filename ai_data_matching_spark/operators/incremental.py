@@ -66,19 +66,40 @@ def exact_match_edges_touched(blocked_union: DataFrame, new_flag: str = "_is_new
     group (old members included): if the batch page becomes the group's
     new rep, linking only new members would leave the old ones
     disconnected from it. Untouched groups keep their prior edges.
+
+    A group is touched iff its (norm_domain, simhash) key appears in the
+    batch — so the history side is first cut by a BROADCAST semi-join on
+    the batch's O(batch) distinct keys, and only the surviving members
+    (touched groups' full membership) reach the groupBy and the star
+    join-back. The previous form shuffled the ENTIRE union through the
+    groupBy to then discard every untouched group — O(history) shuffle
+    per batch for output that is O(touched).
     """
-    grp = (
-        blocked_union.groupBy("norm_domain", "simhash")
-        .agg(
-            F.min("url").alias("_rep"),
-            F.count("*").alias("_n"),
-            F.max(F.col(new_flag).cast("int")).alias("_new"),
+    from ..cache import persist_tracked
+
+    batch_keys = (
+        blocked_union.filter(F.col(new_flag))
+        .select(F.col("norm_domain").alias("_gd"), F.col("simhash").alias("_gs"))
+        .dropDuplicates(["_gd", "_gs"])
+    )
+    # persisted: touched feeds both the group aggregate and the star
+    # join-back below (one action, two DAG branches — no subtree sharing)
+    touched = persist_tracked(
+        blocked_union.select("norm_domain", "simhash", "url").join(
+            F.broadcast(batch_keys),
+            F.col("norm_domain").eqNullSafe(F.col("_gd"))
+            & F.col("simhash").eqNullSafe(F.col("_gs")),
         )
-        .filter((F.col("_n") > 1) & (F.col("_new") == 1))
+        .select("norm_domain", "simhash", "url")
+    )
+    grp = (
+        touched.groupBy("norm_domain", "simhash")
+        .agg(F.min("url").alias("_rep"), F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
         .select(F.col("norm_domain").alias("_gd"), F.col("simhash").alias("_gs"), "_rep")
     )
     return (
-        blocked_union.select("norm_domain", "simhash", F.col("url").alias("src"))
+        touched.select("norm_domain", "simhash", F.col("url").alias("src"))
         .join(
             grp,
             F.col("norm_domain").eqNullSafe(F.col("_gd"))
@@ -115,7 +136,11 @@ def incremental_candidate_pairs(
         F.col(new_flag).alias("_new"),
         F.explode("block_keys").alias("block_key"),
     )
-    hot = hot_keys(sel.select("block_key", "uid"), max_block_size)
+    from ..cache import persist_tracked
+
+    # persisted for the same reason as blocking.candidate_pairs: consumed
+    # by the broadcast exclusion AND the caller's overflow-metric action
+    hot = persist_tracked(hot_keys(sel.select("block_key", "uid"), max_block_size))
     cold = sel.join(F.broadcast(hot.select("block_key")), "block_key", "left_anti")
 
     a = cold.filter(F.col("_new")).select(
@@ -266,19 +291,47 @@ def run_incremental(
             .agg(F.max(F.struct(*rest)).alias("_m"))
             .select("url", *[F.col(f"_m.{c}").alias(c) for c in rest])
         )
+        # The classifying join needs only a SLIM comparison key from the
+        # prior state, not its payload: at scale `prior_blocked` is the
+        # whole resolved history, and shipping full norm_text +
+        # minhash_sig + block_keys through a shuffle join just to test
+        # "did this url's content change?" made the prior side ~50×
+        # wider than necessary. Content equality is xxhash64(norm_text)
+        # + simhash (both deterministic; a misclassification needs a
+        # 64-bit hash collision AND an identical simhash on different
+        # text). Newer-vs-stale compares
+        # (warc_ts, lang, norm_domain, text-hash, simhash) — the same
+        # leading fields as the within-batch max-struct rule, with the
+        # content hash as the deterministic tiebreak instead of
+        # lexicographic full-text order (ties past norm_domain only
+        # arise for same-timestamp re-crawls; either rule is a
+        # deterministic "latest wins" pick).
+        _key = lambda ts, lg, nd, th, sh: F.struct(  # noqa: E731
+            F.col(ts), F.col(lg), F.col(nd), F.col(th), F.col(sh)
+        )
         prior_keyed = prior_blocked.select(
             "url",
-            F.struct(*[F.col(c) for c in rest]).alias("_prior_m"),
+            F.col("warc_ts").alias("_p_ts"),
+            F.col("lang").alias("_p_lang"),
+            F.col("norm_domain").alias("_p_nd"),
+            F.xxhash64("norm_text").alias("_p_th"),
+            F.col("simhash").alias("_p_sh"),
             F.lit(True).alias("_in_prior"),
         )
-        cmp = batch.join(prior_keyed, "url", "left")
-        same_content = F.col("norm_text").eqNullSafe(
-            F.col("_prior_m.norm_text")
-        ) & F.col("simhash").eqNullSafe(F.col("_prior_m.simhash"))
+        cmp = batch.withColumn("_b_th", F.xxhash64("norm_text")).join(
+            prior_keyed, "url", "left"
+        )
+        same_content = F.col("_b_th").eqNullSafe(F.col("_p_th")) & F.col(
+            "simhash"
+        ).eqNullSafe(F.col("_p_sh"))
         status = (
             F.when(F.col("_in_prior").isNull(), F.lit("new"))
             .when(same_content, F.lit("replay"))
-            .when(F.struct(*[F.col(c) for c in rest]) > F.col("_prior_m"), F.lit("changed"))
+            .when(
+                _key("warc_ts", "lang", "norm_domain", "_b_th", "simhash")
+                > _key("_p_ts", "_p_lang", "_p_nd", "_p_th", "_p_sh"),
+                F.lit("changed"),
+            )
             .otherwise(F.lit("stale"))
         )
         # persisted: consumed twice below (union branch + changed-url
@@ -326,8 +379,15 @@ def run_incremental(
         )
 
     def _edges() -> DataFrame:
+        from ..cache import persist_tracked
+
         prior_edges = _prior("edges")
-        exact_inc = exact_match_edges_touched(blocked)
+        # persisted: exact_inc feeds BOTH the route_unmatched anti-join
+        # and the edge union inside one action — Spark does not share
+        # common subtrees across DAG branches, so without the persist the
+        # O(history) touched-group scan (groupBy + join-back over the
+        # full blocked union) runs twice.
+        exact_inc = persist_tracked(exact_match_edges_touched(blocked))
         pairs, overflow = incremental_candidate_pairs(
             blocked,
             max_block_size=cfg.max_block_size,
