@@ -153,6 +153,66 @@ def _pipeline_run(spark, cpus: int, n_pages: int, reps: int = 2) -> tuple[int, f
     return n, best, f1
 
 
+def _incremental_section(spark, n_pages: int, timings: dict, extras: dict) -> None:
+    """Incremental ER: fold a ~10% batch into a committed base run.
+
+    The base commit is untimed (it is the prior state an incremental user
+    already has); the timed window is the batch fold only. The speedup
+    reported is vs recomputing base∪batch at this session's measured
+    full-pipeline rate — anchor and fold share one session and one
+    probe-labeled window. Disable with BENCH_INCREMENTAL=0.
+    """
+    if os.environ.get("BENCH_INCREMENTAL", "1") == "0":
+        return
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ai_data_matching_spark.cache import release_persisted
+    from ai_data_matching_spark.operators.incremental import run_incremental
+    from ai_data_matching_spark.pipeline import run_pipeline
+    from ai_data_matching_spark.sources.tables import TableIO
+    from ai_data_matching_spark.synth import generate_pages
+
+    release_persisted()
+    spark.catalog.clearCache()
+    extras.update(_probe_gate("inc"))  # incremental section window label
+    all_pages = generate_pages(spark, n_pages, seed=42).drop("entity_id")
+    is_batch = F.pmod(F.xxhash64("url"), F.lit(10)) == 0
+    root = tempfile.mkdtemp(prefix="bench-inc-")
+    try:
+        io = TableIO(root)
+        base = all_pages.filter(~is_batch).persist()
+        n_base = base.count()
+        t0 = time.perf_counter()
+        run_pipeline(spark, base, io=io)  # the prior committed state
+        t_base = time.perf_counter() - t0
+        base.unpersist()
+        release_persisted()
+        spark.catalog.clearCache()
+        batch = all_pages.filter(is_batch).persist()
+        n_batch = batch.count()
+        t0 = time.perf_counter()
+        inc = run_incremental(spark, batch, io, "bench-b1")
+        _materialize(inc.assigned)
+        dt = time.perf_counter() - t0
+        timings["er_incremental"] = round(dt, 3)
+        extras["er_incremental_batch_docs"] = n_batch
+        extras["er_incremental_docs_per_sec"] = round(n_batch / dt, 1)
+        # recompute anchor: the SAME checkpointed code path over the
+        # base corpus, scaled to base∪batch size — apples-to-apples
+        # (both sides pay snapshot commits), measured not estimated
+        extras["er_incremental_speedup_vs_recompute"] = round(
+            t_base * ((n_base + n_batch) / n_base) / dt, 2
+        )
+        batch.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    release_persisted()
+    spark.catalog.clearCache()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -183,6 +243,18 @@ def main() -> None:
                 extras["er_pipeline_pairwise_f1"] = round(f1, 6)
             if best_level is None or n / dt > best_level[1] / best_level[2]:
                 best_level = (level, n, dt)
+            if level == pipe_cpus:
+                # incremental section runs HERE, on the pipe_cpus session:
+                # one JVM = one SparkSession, so this is the only point a
+                # pipe_cpus-parallelism session exists, and that level is
+                # (a) the headline winner on this host and (b) far less
+                # exposed to shared-host contention than the full 32-thread
+                # grab — the r4 interim artifacts measured the fold at 32
+                # threads swinging 20→52 s run-to-run while the 16-core
+                # pipeline leg held steady. The recompute anchor (t_base)
+                # is measured on this same session, so the speedup ratio
+                # stays same-window, same-parallelism.
+                _incremental_section(spark, n_pages, timings, extras)
             if level != cpus:
                 spark.stop()
         level, n, dt = best_level
@@ -195,60 +267,6 @@ def main() -> None:
     #    session at `cpus`; only the no-pipeline path needs to build one)
     if not want_pipeline:
         spark = _build(cpus)
-
-    # -- incremental ER: fold a ~10% batch into a committed base run.
-    #    The base commit is untimed (it is the prior state an incremental
-    #    user already has); the timed window is the batch fold only. The
-    #    speedup reported is vs recomputing base∪batch at the headline
-    #    full-pipeline rate.
-    if want_pipeline and os.environ.get("BENCH_INCREMENTAL", "1") != "0":
-        import shutil
-        import tempfile
-
-        from pyspark.sql import functions as F
-
-        from ai_data_matching_spark.cache import release_persisted
-        from ai_data_matching_spark.operators.incremental import run_incremental
-        from ai_data_matching_spark.pipeline import run_pipeline
-        from ai_data_matching_spark.sources.tables import TableIO
-        from ai_data_matching_spark.synth import generate_pages
-
-        release_persisted()
-        spark.catalog.clearCache()
-        extras.update(_probe_gate("inc"))  # incremental section window label
-        all_pages = generate_pages(spark, n_pages, seed=42).drop("entity_id")
-        is_batch = F.pmod(F.xxhash64("url"), F.lit(10)) == 0
-        root = tempfile.mkdtemp(prefix="bench-inc-")
-        try:
-            io = TableIO(root)
-            base = all_pages.filter(~is_batch).persist()
-            n_base = base.count()
-            t0 = time.perf_counter()
-            run_pipeline(spark, base, io=io)  # the prior committed state
-            t_base = time.perf_counter() - t0
-            base.unpersist()
-            release_persisted()
-            spark.catalog.clearCache()
-            batch = all_pages.filter(is_batch).persist()
-            n_batch = batch.count()
-            t0 = time.perf_counter()
-            inc = run_incremental(spark, batch, io, "bench-b1")
-            _materialize(inc.assigned)
-            dt = time.perf_counter() - t0
-            timings["er_incremental"] = round(dt, 3)
-            extras["er_incremental_batch_docs"] = n_batch
-            extras["er_incremental_docs_per_sec"] = round(n_batch / dt, 1)
-            # recompute anchor: the SAME checkpointed code path over the
-            # base corpus, scaled to base∪batch size — apples-to-apples
-            # (both sides pay snapshot commits), measured not estimated
-            extras["er_incremental_speedup_vs_recompute"] = round(
-                t_base * ((n_base + n_batch) / n_base) / dt, 2
-            )
-            batch.unpersist()
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
-        release_persisted()
-        spark.catalog.clearCache()
 
     qs = entry_mod.queries()
     for name in [
