@@ -115,6 +115,63 @@ def exact_match_edges_touched(blocked_union: DataFrame, new_flag: str = "_is_new
     )
 
 
+def incremental_components(
+    prior_labels: DataFrame, new_edges: DataFrame
+) -> tuple[DataFrame, int]:
+    """Connected components of (prior ∪ new) edges, EXACTLY, without ever
+    re-walking the prior edge set.
+
+    Edges are only ever added (the monotone contract), so the prior
+    components can be CONTRACTED to single nodes: map each new edge's
+    endpoints through the prior labels (urls absent from the prior keep
+    themselves), drop the self-loops (edges inside one prior component),
+    and run CC on what remains — a graph of O(new edges) size whose node
+    ids are prior component reps and brand-new urls. Because a component
+    rep IS the component's min url, the contracted CC's min-rep result
+    equals the min url of the merged component, so relabeling the prior
+    labels through it reproduces the full recompute's labels bit-for-bit
+    (tests/test_incremental.py asserts the equality end-to-end).
+
+    Cost: one slim join of the new edges against the prior labels (the
+    only O(history) touch — two url strings per row), a CC over O(new)
+    contracted edges, and a relabel join of the prior labels against the
+    (small) contracted result. The previous form re-ran CC over the FULL
+    merged edge set every batch.
+    """
+    e = new_edges.select("src", "dst")
+    pl_src = prior_labels.select(
+        F.col("url").alias("src"), F.col("component").alias("_c_src")
+    )
+    pl_dst = prior_labels.select(
+        F.col("url").alias("dst"), F.col("component").alias("_c_dst")
+    )
+    contracted = (
+        e.join(pl_src, "src", "left")
+        .join(pl_dst, "dst", "left")
+        .select(
+            F.coalesce("_c_src", "src").alias("src"),
+            F.coalesce("_c_dst", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    c_labels, iters = connected_components(contracted)
+    from ..cache import persist_tracked
+
+    # consumed twice (relabel join + fresh-node anti-join) and tiny —
+    # O(touched components + new urls)
+    c_labels = persist_tracked(c_labels)
+    relabeled = (
+        prior_labels.join(
+            c_labels.select(F.col("url").alias("_rep"), F.col("component").alias("_nc")),
+            prior_labels["component"] == F.col("_rep"),
+            "left",
+        )
+        .select("url", F.coalesce("_nc", "component").alias("component"))
+    )
+    fresh = c_labels.join(prior_labels.select("url"), "url", "left_anti")
+    return relabeled.unionByName(fresh.select("url", "component")), iters
+
+
 def incremental_candidate_pairs(
     blocked_union: DataFrame,
     new_flag: str = "_is_new",
@@ -401,7 +458,17 @@ def run_incremental(
         fuzzy_inc = fuzzy_match_edges(
             scored, threshold=cfg.fuzzy_threshold, best_match_only=cfg.best_match_only
         )
-        new_edges = union_edges(exact_inc, fuzzy_inc)
+        # the batch's edge DELTA is committed as its own (small) snapshot
+        # BEFORE the merged set: the labels stage clusters incrementally
+        # from delta + prior labels instead of re-walking all history
+        # edges, and a committed `edges` always implies a committed delta
+        # (a crash in between just recomputes and recommits both). The
+        # committed read-back also feeds the merge below, so scoring is
+        # never executed twice.
+        new_edges = io.commit(
+            union_edges(exact_inc, fuzzy_inc), "edges_delta", fp,
+            extra={"cfg_fp": cfg_fp},
+        )
         # prior edges are never retracted (monotone contract). The same
         # (src, dst) can recur — e.g. a prior fuzzy edge now re-emitted
         # as an exact star edge for a touched group — so merge by max
@@ -436,6 +503,21 @@ def run_incremental(
 
     def _labels() -> DataFrame:
         nonlocal cc_iters
+        # incremental CC: contract prior components through the committed
+        # edge delta (exact under the monotone-edges contract — see
+        # incremental_components). Falls back to full CC over the merged
+        # set when the delta or the prior labels are unavailable (state
+        # committed by a pre-delta code version, or gc-expired ancestry).
+        delta_rec = io.last_committed("edges_delta", fp)
+        if delta_rec is not None:
+            try:
+                prior_labels = _prior("labels")
+            except ValueError:
+                prior_labels = None
+            if prior_labels is not None:
+                delta = io.read_snapshot(spark, delta_rec)
+                labels, cc_iters = incremental_components(prior_labels, delta)
+                return labels
         labels, cc_iters = connected_components(edges)
         return labels
 

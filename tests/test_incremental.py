@@ -26,6 +26,39 @@ def _split(pages, n_buckets: int, bucket: int):
     return pages.filter(F.pmod(F.xxhash64("url"), F.lit(n_buckets)) == bucket)
 
 
+def test_incremental_components_matches_full_cc(spark):
+    """The contracted incremental CC must equal a full CC over
+    prior ∪ new edges — pinned on the risky shapes: a new node BRIDGING
+    two prior components, a new node that becomes the merged component's
+    min-url rep, and an intra-component delta edge (contracted
+    self-loop)."""
+    from ai_data_matching_spark.operators.clustering import connected_components
+    from ai_data_matching_spark.operators.incremental import incremental_components
+
+    prior_edges = spark.createDataFrame(
+        [("a1", "a2"), ("b1", "b2"), ("c1", "c2")], "src string, dst string"
+    )
+    prior_labels, _ = connected_components(prior_edges)
+    new_edges = spark.createDataFrame(
+        [
+            ("a2", "z9"),   # attach new node to component a
+            ("z9", "b2"),   # ...and BRIDGE components a and b through it
+            ("c2", "0m"),   # new node that is the merged component's min
+            ("c1", "c2"),   # intra-component edge: contracted self-loop
+        ],
+        "src string, dst string",
+    )
+    inc_labels, _ = incremental_components(prior_labels, new_edges)
+    full_labels, _ = connected_components(prior_edges.unionByName(new_edges))
+    as_map = lambda df: {  # noqa: E731
+        r["url"]: r["component"] for r in df.collect()
+    }
+    inc, full = as_map(inc_labels), as_map(full_labels)
+    assert inc == full
+    assert inc["z9"] == "a1" and inc["b1"] == "a1"  # bridge merged a∪b∪{z9}
+    assert inc["c1"] == "0m"  # new min url becomes the rep
+
+
 def test_incremental_equals_full_recompute(spark, pages_small, tmp_path):
     pages = pages_small.drop("entity_id")
     base = _split(pages, 4, 0).unionByName(_split(pages, 4, 1)).unionByName(_split(pages, 4, 2))
