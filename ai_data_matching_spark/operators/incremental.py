@@ -35,10 +35,16 @@ only pairs that TOUCH the new batch:
   (never a missing) edge than the global argmax would — documented
   divergence, clusters only coarsen.
 
-Each batch commits its own ``blocked`` / ``edges`` / ``labels``
-snapshots under a batch-derived fingerprint, so a killed incremental run
-resumes per stage exactly like the base pipeline, and the next batch
-chains on this batch's committed state.
+Each batch commits ``blocked_delta`` / ``edges_delta`` /
+``labels_delta`` snapshots under a batch-derived fingerprint — each
+O(batch / touched), never a rewrite of the O(history) state. The full
+state view is reconstructed on read by folding the delta chain over the
+nearest full snapshot (``TableIO.read_state`` — the Iceberg
+merge-on-read shape), and every ``compact_every``-th batch additionally
+commits full snapshots so the read chain stays bounded and gc can
+expire ancestry. A killed incremental run resumes per stage exactly
+like the base pipeline, and the next batch chains on this batch's
+committed state.
 """
 
 from __future__ import annotations
@@ -115,11 +121,12 @@ def exact_match_edges_touched(blocked_union: DataFrame, new_flag: str = "_is_new
     )
 
 
-def incremental_components(
+def incremental_label_delta(
     prior_labels: DataFrame, new_edges: DataFrame
 ) -> tuple[DataFrame, int]:
-    """Connected components of (prior ∪ new) edges, EXACTLY, without ever
-    re-walking the prior edge set.
+    """The label DELTA the new edges induce on the prior clustering —
+    exactly the rows a full recompute would label differently, plus the
+    brand-new urls — computed without re-walking the prior edge set.
 
     Edges are only ever added (the monotone contract), so the prior
     components can be CONTRACTED to single nodes: map each new edge's
@@ -128,15 +135,19 @@ def incremental_components(
     and run CC on what remains — a graph of O(new edges) size whose node
     ids are prior component reps and brand-new urls. Because a component
     rep IS the component's min url, the contracted CC's min-rep result
-    equals the min url of the merged component, so relabeling the prior
-    labels through it reproduces the full recompute's labels bit-for-bit
-    (tests/test_incremental.py asserts the equality end-to-end).
+    equals the min url of the merged component, so the delta (changed
+    prior rows + fresh urls) applied over the prior labels reproduces the
+    full recompute's labels bit-for-bit (tests/test_incremental.py
+    asserts the equality end-to-end).
+
+    The delta is O(touched components + new urls) — it is what the fold
+    COMMITS (``labels_delta`` snapshot); the full label view is
+    reconstructed on read (TableIO.read_state url-replacement merge).
 
     Cost: one slim join of the new edges against the prior labels (the
     only O(history) touch — two url strings per row), a CC over O(new)
-    contracted edges, and a relabel join of the prior labels against the
-    (small) contracted result. The previous form re-ran CC over the FULL
-    merged edge set every batch.
+    contracted edges, and a changed-row join of the prior labels against
+    the (small) contracted result.
     """
     e = new_edges.select("src", "dst")
     pl_src = prior_labels.select(
@@ -157,19 +168,35 @@ def incremental_components(
     c_labels, iters = connected_components(contracted)
     from ..cache import persist_tracked
 
-    # consumed twice (relabel join + fresh-node anti-join) and tiny —
+    # consumed twice (changed-row join + fresh-node anti-join) and tiny —
     # O(touched components + new urls)
     c_labels = persist_tracked(c_labels)
-    relabeled = (
+    changed = (
         prior_labels.join(
             c_labels.select(F.col("url").alias("_rep"), F.col("component").alias("_nc")),
             prior_labels["component"] == F.col("_rep"),
-            "left",
         )
-        .select("url", F.coalesce("_nc", "component").alias("component"))
+        # a touched component whose rep stays its own min is unchanged —
+        # only rows whose component id actually moves belong in the delta
+        .filter(F.col("_nc") != F.col("component"))
+        .select("url", F.col("_nc").alias("component"))
     )
     fresh = c_labels.join(prior_labels.select("url"), "url", "left_anti")
-    return relabeled.unionByName(fresh.select("url", "component")), iters
+    return changed.unionByName(fresh.select("url", "component")), iters
+
+
+def incremental_components(
+    prior_labels: DataFrame, new_edges: DataFrame
+) -> tuple[DataFrame, int]:
+    """Full label view for (prior ∪ new) edges: the incremental delta
+    applied over the prior labels by url replacement — equals a full CC
+    over the merged edge set (see incremental_label_delta)."""
+    from ..cache import persist_tracked
+
+    delta, iters = incremental_label_delta(prior_labels, new_edges)
+    delta = persist_tracked(delta)  # consumed by the anti-join AND the union
+    view = prior_labels.join(delta.select("url"), "url", "left_anti").unionByName(delta)
+    return view, iters
 
 
 def incremental_candidate_pairs(
@@ -195,10 +222,21 @@ def incremental_candidate_pairs(
     )
     from ..cache import persist_tracked
 
+    # Cap decisions only matter for keys the BATCH touches — an untouched
+    # key generates no new pairs — so the frequency scan is cut to the
+    # batch's key set with a broadcast semi-join BEFORE the groupBy:
+    # aggregating every history key to cap an O(batch) key set is an
+    # O(history) shuffle per fold that a 100-TB deployment can't pay.
+    # Block sizes are still counted over the full UNION membership of the
+    # surviving keys, so the cap mirrors the full recompute's decisions.
+    batch_keys = sel.filter(F.col("_new")).select("block_key").dropDuplicates()
+    touched = sel.join(F.broadcast(batch_keys), "block_key", "left_semi")
     # persisted for the same reason as blocking.candidate_pairs: consumed
     # by the broadcast exclusion AND the caller's overflow-metric action
-    hot = persist_tracked(hot_keys(sel.select("block_key", "uid"), max_block_size))
-    cold = sel.join(F.broadcast(hot.select("block_key")), "block_key", "left_anti")
+    hot = persist_tracked(hot_keys(touched.select("block_key", "uid"), max_block_size))
+    # both join sides draw from `touched`: untouched-key rows would die in
+    # the equi-join anyway, so never let them into a shuffle
+    cold = touched.join(F.broadcast(hot.select("block_key")), "block_key", "left_anti")
 
     a = cold.filter(F.col("_new")).select(
         "block_key", F.col("uid").alias("uid_a"), F.col("simhash").alias("_sh_a")
@@ -264,16 +302,23 @@ def run_incremental(
     batch_id: str,
     cfg: PipelineConfig | None = None,
     prior_fingerprint: str | None = None,
+    compact_every: int = 8,
 ) -> PipelineResult:
     """Resolve ``new_pages`` (url, warc_ts, html[, text, lang]) against the
-    prior committed run and commit the merged state.
+    prior committed run and commit the state DELTA.
 
     ``prior_fingerprint`` identifies the state to chain on: the base
     pipeline's config fingerprint for the first batch, or a previous
     batch's returned fingerprint (``config_fingerprint`` of cfg+batch)
-    for later ones. Commits ``blocked`` / ``edges`` / ``labels``
-    snapshots under this batch's fingerprint, so the run is resumable
-    per stage and the next batch can chain on it.
+    for later ones. Commits ``blocked_delta`` / ``edges_delta`` /
+    ``labels_delta`` snapshots under this batch's fingerprint — each
+    O(batch∕touched), never a rewrite of the O(history) state (the
+    Iceberg merge-on-read shape; TableIO.read_state reconstructs the
+    full view by folding the delta chain over the nearest full
+    snapshot). Every ``compact_every``-th batch additionally commits
+    full ``blocked`` / ``edges`` / ``labels`` snapshots, bounding the
+    read chain and letting gc expire ancestry. The run is resumable per
+    stage and the next batch chains on its fingerprint either way.
     """
     cfg = cfg or PipelineConfig()
     cfg_fp = config_fingerprint(asdict(cfg))
@@ -281,28 +326,50 @@ def run_incremental(
     fp = config_fingerprint({"cfg": asdict(cfg), "batch": batch_id, "prior": base_fp})
     resumed: list[str] = []
 
-    # Prior state is read LAZILY: a stage that resumes from its own
-    # committed snapshot never touches it — so a killed head-batch retry
-    # still resumes after gc() expired the prior fingerprint's snapshots
-    # (retention keeps the chain head, not its ancestry). Only an actual
-    # recompute requires the prior state and fails loudly without it.
+    # Compaction decision is a function of the PRIOR chain only (this
+    # batch's own records never participate), so a killed retry makes the
+    # same call and resumes the same set of committed artifacts.
+    compact = (
+        compact_every > 0
+        and io.chain_length("blocked", base_fp) + 1 >= compact_every
+    )
+    delta_extra = {"cfg_fp": cfg_fp, "prior": base_fp, "kind": "delta"}
+    full_extra = {"cfg_fp": cfg_fp, "prior": base_fp, "kind": "full"}
+
+    # Prior state views are read LAZILY: a stage that resumes from its own
+    # committed snapshot never touches them — so a killed head-batch retry
+    # still resumes after gc() compacted the head and expired its
+    # ancestry. Only an actual recompute requires the prior state and
+    # fails loudly without it.
     def _prior(stage_name: str) -> DataFrame:
-        rec = io.last_committed(stage_name, base_fp)
-        if rec is None:
+        df = io.read_state(spark, stage_name, base_fp)
+        if df is None:
             raise ValueError(
                 f"no committed {stage_name} snapshot for fingerprint {base_fp}; "
                 "run the base pipeline with this TableIO first (or the prior "
                 "state was gc-expired — a recompute of this batch needs it)"
             )
-        return io.read_snapshot(spark, rec)
+        return df
 
-    def stage(name: str, compute) -> DataFrame:
+    def stage_delta(name: str, compute) -> DataFrame:
+        """Commit/resume the O(batch) delta for logical stage ``name``;
+        ``resumed_stages`` reports the LOGICAL name either way."""
         df, was_resumed = io.read_or_compute(
-            spark, name, fp, compute, extra={"cfg_fp": cfg_fp}
+            spark, name + "_delta", fp, compute, extra=delta_extra
         )
         if was_resumed:
             resumed.append(name)
         return df
+
+    def maybe_compact(name: str, view: DataFrame) -> DataFrame:
+        """On a compaction batch, materialize the full state view as its
+        own snapshot (idempotent on retry)."""
+        if not compact:
+            return view
+        full_rec = io.last_committed(name, fp)
+        if full_rec is not None:
+            return io.read_snapshot(spark, full_rec)
+        return io.commit(view, name, fp, extra=full_extra)
 
     # batch sketching: same fused kernel + key derivation as the pipeline.
     # Incoming rows are classified against the committed state by CONTENT,
@@ -327,9 +394,7 @@ def run_incremental(
     # committed snapshot — see batch_ingest metric below).
     rest = [c for c in BLOCKED_COLS if c != "url"]
 
-    def _blocked_union() -> DataFrame:
-        from ..cache import persist_tracked
-
+    def _blocked_delta() -> DataFrame:
         prior_blocked = _prior("blocked").select(*BLOCKED_COLS)
         batch = with_extract_sketch_keys(
             new_pages,
@@ -391,54 +456,79 @@ def run_incremental(
             )
             .otherwise(F.lit("stale"))
         )
-        # persisted: consumed twice below (union branch + changed-url
-        # anti-join) — without it the batch Arrow sketch runs twice
-        kept = persist_tracked(
+        # the stage's COMMITTED artifact is the kept delta alone —
+        # O(batch), never the O(history) union (the view below merges on
+        # read). No persist needed: the commit materializes it once and
+        # every later consumer reads the committed parquet.
+        return (
             cmp.withColumn("_batch_status", status)
             .filter(F.col("_batch_status").isin("new", "changed"))
             .select("url", *rest, "_batch_status")
         )
+
+    kept = stage_delta("blocked", _blocked_delta)
+
+    def _blocked_view() -> DataFrame:
+        """The flagged blocked union (prior ∖ changed ∪ kept) the edge
+        stage consumes. LAZY — only a recomputing edge stage builds it,
+        so a fully-resumed retry never touches the prior chain (which a
+        gc-compacted head may have expired)."""
         changed_urls = kept.filter(F.col("_batch_status") == "changed").select("url")
-        prior_keep = prior_blocked.join(changed_urls, "url", "left_anti")
+        prior_keep = (
+            _prior("blocked")
+            .select(*BLOCKED_COLS)
+            .join(changed_urls, "url", "left_anti")
+        )
         return (
             prior_keep.withColumn("_is_new", F.lit(False))
             .withColumn("_batch_status", F.lit(None).cast("string"))
             .unionByName(kept.withColumn("_is_new", F.lit(True)))
         )
 
-    blocked = stage("blocked", _blocked_union)
+    if compact and io.last_committed("blocked", fp) is None:
+        io.commit(_blocked_view().select(*BLOCKED_COLS), "blocked", fp, extra=full_extra)
 
     # ingest observability: new / changed(updated) / dropped(replay|stale)
     # per batch. Cheap by construction — one scan of the slim committed
     # snapshot plus a column-pruned distinct over the batch urls; guarded
     # so resuming a snapshot committed by a pre-status code version skips
     # the metric instead of failing.
-    if "_batch_status" in blocked.columns:
-        n_batch_urls = new_pages.select("url").distinct().count()
-        by_status = {
-            r["_batch_status"]: r["n"]
-            for r in blocked.filter(F.col("_is_new"))
-            .groupBy("_batch_status")
+    if "_batch_status" in kept.columns:
+        # ONE lazy job: the kept-status counts and the batch-url total are
+        # unioned as tagged rows and pivoted into the metric row inside
+        # the metric write itself — no driver collect, no extra actions
+        # (this was 3 jobs of pure bookkeeping per fold).
+        tagged = (
+            kept.groupBy(F.col("_batch_status").alias("_tag"))
             .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        n_new = int(by_status.get("new", 0))
-        n_changed = int(by_status.get("changed", 0))
+            .unionByName(
+                new_pages.select("url")
+                .distinct()
+                .agg(F.count("*").alias("n"))
+                .select(F.lit("_total").alias("_tag"), "n")
+            )
+        )
+        pick = lambda tag: F.coalesce(  # noqa: E731
+            F.sum(F.when(F.col("_tag") == tag, F.col("n"))), F.lit(0)
+        )
         io.write_metric(
-            spark.createDataFrame(
-                [(batch_id, n_batch_urls, n_new, n_changed,
-                  n_batch_urls - n_new - n_changed)],
-                "batch_id string, batch_urls long, new_urls long, "
-                "recrawl_changed long, dropped_replay_or_stale long",
+            tagged.agg(
+                F.lit(batch_id).alias("batch_id"),
+                pick("_total").alias("batch_urls"),
+                pick("new").alias("new_urls"),
+                pick("changed").alias("recrawl_changed"),
+                (pick("_total") - pick("new") - pick("changed")).alias(
+                    "dropped_replay_or_stale"
+                ),
             ),
             "blocked",
             f"batch_ingest_{batch_id}",
         )
 
-    def _edges() -> DataFrame:
+    def _edges_delta() -> DataFrame:
         from ..cache import persist_tracked
 
-        prior_edges = _prior("edges")
+        blocked = _blocked_view()
         # persisted: exact_inc feeds BOTH the route_unmatched anti-join
         # and the edge union inside one action — Spark does not share
         # common subtrees across DAG branches, so without the persist the
@@ -458,72 +548,45 @@ def run_incremental(
         fuzzy_inc = fuzzy_match_edges(
             scored, threshold=cfg.fuzzy_threshold, best_match_only=cfg.best_match_only
         )
-        # the batch's edge DELTA is committed as its own (small) snapshot
-        # BEFORE the merged set: the labels stage clusters incrementally
-        # from delta + prior labels instead of re-walking all history
-        # edges, and a committed `edges` always implies a committed delta
-        # (a crash in between just recomputes and recommits both). The
-        # committed read-back also feeds the merge below, so scoring is
-        # never executed twice.
-        new_edges = io.commit(
-            union_edges(exact_inc, fuzzy_inc), "edges_delta", fp,
-            extra={"cfg_fp": cfg_fp},
-        )
-        # prior edges are never retracted (monotone contract). The same
-        # (src, dst) can recur — e.g. a prior fuzzy edge now re-emitted
-        # as an exact star edge for a touched group — so merge by max
-        # struct. The explicit numeric type rank breaks score ties in
-        # favor of 'exact': a bare (score, match_type) struct would rank
-        # 'fuzzy' > 'exact' lexicographically, so a fuzzy edge scoring
-        # exactly 1.0 would relabel a recurring exact edge and drift
-        # n_exact/n_fuzzy stats from the full-recompute labeling.
-        merged = prior_edges.unionByName(new_edges)
-        return (
-            merged.groupBy("src", "dst")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("score"),
-                        (F.col("match_type") == "exact").cast("int").alias("_rk"),
-                        F.col("match_type"),
-                    )
-                ).alias("_m")
-            )
-            .select(
-                "src",
-                "dst",
-                F.col("_m.score").alias("score"),
-                F.col("_m.match_type").alias("match_type"),
-            )
-        )
+        return union_edges(exact_inc, fuzzy_inc)
 
-    edges = stage("edges", _edges)
+    # the fold COMMITS only the edge delta — prior edges are never
+    # retracted (monotone contract) and never rewritten. The full edge
+    # view is merge-on-read: chain union + one max-struct dedup
+    # (tables.merge_edge_sets — 'exact' outranks 'fuzzy' on a 1.0 tie so
+    # a recurring exact edge is never relabeled by a tying fuzzy edge).
+    stage_delta("edges", _edges_delta)
+    # consumed ≥2× below (clusters + stats) and by the caller — persist
+    # the slim reconstructed view so the chain union + dedup shuffle runs
+    # once (columns: 2 urls + score + type; MEMORY_AND_DISK spills)
+    from ..cache import persist_tracked
+
+    edges = maybe_compact("edges", io.read_state(spark, "edges", fp))
+    if not compact:
+        edges = persist_tracked(edges)
 
     cc_iters = 0
 
-    def _labels() -> DataFrame:
+    def _labels_delta() -> DataFrame:
         nonlocal cc_iters
         # incremental CC: contract prior components through the committed
         # edge delta (exact under the monotone-edges contract — see
-        # incremental_components). Falls back to full CC over the merged
-        # set when the delta or the prior labels are unavailable (state
-        # committed by a pre-delta code version, or gc-expired ancestry).
+        # incremental_label_delta). The committed artifact is the label
+        # DELTA (changed prior rows + fresh urls), O(touched), never the
+        # O(history) relabeled set.
         delta_rec = io.last_committed("edges_delta", fp)
-        if delta_rec is not None:
-            try:
-                prior_labels = _prior("labels")
-            except ValueError:
-                prior_labels = None
-            if prior_labels is not None:
-                delta = io.read_snapshot(spark, delta_rec)
-                labels, cc_iters = incremental_components(prior_labels, delta)
-                return labels
-        labels, cc_iters = connected_components(edges)
-        return labels
+        edge_delta = io.read_snapshot(spark, delta_rec)
+        d, cc_iters = incremental_label_delta(_prior("labels"), edge_delta)
+        return d
 
-    labels = stage("labels", _labels)
+    stage_delta("labels", _labels_delta)
+    labels = maybe_compact("labels", io.read_state(spark, "labels", fp))
 
-    pages_slim = blocked.select("url", "warc_ts", "lang", "norm_domain")
+    # the assigned view reconstructs blocked state on read as well —
+    # full snapshot when compacted, prior ∖ changed ∪ delta otherwise
+    pages_slim = io.read_state(spark, "blocked", fp).select(
+        "url", "warc_ts", "lang", "norm_domain"
+    )
     assigned = cluster_assignments(pages_slim, labels)
     clusters = consolidate_clusters(assigned, edges)
     stats = match_statistics(assigned, edges)

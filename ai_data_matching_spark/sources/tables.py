@@ -48,6 +48,34 @@ def config_fingerprint(payload: dict) -> str:
     return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 
+def merge_edge_sets(edges: DataFrame) -> DataFrame:
+    """Dedup a union of edge sets under the monotone merge contract: the
+    same (src, dst) keeps its best score, and 'exact' outranks 'fuzzy' on
+    a 1.0 score tie (a bare (score, match_type) struct would rank 'fuzzy'
+    lexicographically above 'exact' and drift n_exact/n_fuzzy stats from
+    the full-recompute labeling). This is the storage layer's edge-merge
+    rule because delta-chain reads (``TableIO.read_state``) must apply it
+    to reconstruct the state a full rewrite would have committed."""
+    return (
+        edges.groupBy("src", "dst")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"),
+                    (F.col("match_type") == "exact").cast("int").alias("_rk"),
+                    F.col("match_type"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            "src",
+            "dst",
+            F.col("_m.score").alias("score"),
+            F.col("_m.match_type").alias("match_type"),
+        )
+    )
+
+
 class ParquetSnapshotBackend:
     """Default storage binding: parquet dirs under ``root`` (see module
     docstring). Locator field in manifest records: ``path``."""
@@ -64,6 +92,44 @@ class ParquetSnapshotBackend:
         df.write.mode("overwrite").parquet(
             os.path.join(self.root, stage, snapshot_id, "lineage.parquet")
         )
+
+    def snapshot_stats(self, locator: dict) -> list[int] | None:
+        """Per-file row counts from the written snapshot's parquet FOOTERS —
+        pure metadata, no Spark job. Returns None when the layout is not
+        the expected part-file directory (commit falls back to the
+        Spark-side lineage computation)."""
+        try:
+            import glob
+
+            import pyarrow.parquet as pq
+
+            files = sorted(glob.glob(os.path.join(locator["path"], "part-*.parquet")))
+            if not files:
+                return None
+            return [pq.ParquetFile(f).metadata.num_rows for f in files]
+        except Exception:
+            return None
+
+    def write_lineage_rows(
+        self, per_part_rows: list[int], stage: str, snapshot_id: str
+    ) -> None:
+        """Write the lineage frame directly via pyarrow (same schema the
+        Spark path produces: _part int, rows long, stage, snapshot_id) —
+        no Spark job."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "_part": pa.array(range(len(per_part_rows)), type=pa.int32()),
+                "rows": pa.array(per_part_rows, type=pa.int64()),
+                "stage": pa.array([stage] * len(per_part_rows)),
+                "snapshot_id": pa.array([snapshot_id] * len(per_part_rows)),
+            }
+        )
+        path = os.path.join(self.root, stage, snapshot_id, "lineage.parquet")
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
     def read_snapshot(self, spark: SparkSession, rec: dict) -> DataFrame:
         return spark.read.parquet(rec["path"])
@@ -220,16 +286,26 @@ class TableIO:
 
         spark = df.sparkSession
         committed = self.backend.read_snapshot(spark, locator)
-        lineage = (
-            committed.withColumn("_part", F.spark_partition_id())
-            .groupBy("_part")
-            .agg(F.count("*").alias("rows"))
-            .withColumn("stage", F.lit(stage))
-            .withColumn("snapshot_id", F.lit(snapshot_id))
-        )
-        self.backend.write_lineage(lineage, stage, snapshot_id)
-        row_count = committed.count()
-        n_parts = committed.rdd.getNumPartitions()
+        # lineage + row_count fast path: parquet footers are authoritative
+        # per-file row counts and cost zero Spark jobs (the slow path below
+        # re-reads the snapshot and runs TWO extra jobs per commit — a
+        # measured ~2-4s of pure bookkeeping per incremental fold).
+        stats = getattr(self.backend, "snapshot_stats", lambda loc: None)(locator)
+        if stats is not None:
+            self.backend.write_lineage_rows(stats, stage, snapshot_id)
+            row_count = sum(stats)
+            n_parts = len(stats)
+        else:
+            lineage = (
+                committed.withColumn("_part", F.spark_partition_id())
+                .groupBy("_part")
+                .agg(F.count("*").alias("rows"))
+                .withColumn("stage", F.lit(stage))
+                .withColumn("snapshot_id", F.lit(snapshot_id))
+            )
+            self.backend.write_lineage(lineage, stage, snapshot_id)
+            row_count = committed.count()
+            n_parts = committed.rdd.getNumPartitions()
         self._append_manifest(
             {
                 "stage": stage,
@@ -246,6 +322,92 @@ class TableIO:
 
     def read_snapshot(self, spark: SparkSession, rec: dict) -> DataFrame:
         return self.backend.read_snapshot(spark, rec)
+
+    # -- state views (delta chains / merge-on-read) --------------------------
+    #
+    # Incremental folds commit O(batch)-sized `<stage>_delta` snapshots
+    # instead of rewriting the full O(history) state every batch (the
+    # Iceberg merge-on-read shape). A delta record carries:
+    #   prior — the fingerprint of the state it applies on top of
+    #   kind  — "delta" (full snapshots may carry "full"; absent = full)
+    # A logical stage's STATE at a fingerprint is reconstructed by walking
+    # prior links back to the nearest full snapshot (the base pipeline run,
+    # a compaction batch, or a gc-compacted head) and folding the deltas
+    # forward. Merge semantics per stage:
+    #   blocked / labels — url-keyed replacement (newest delta row wins)
+    #   edges            — append, then one monotone max-struct dedup
+    #                      (exact outranks fuzzy on a 1.0 score tie)
+
+    def state_record(self, stage: str, fingerprint: str) -> tuple[dict | None, bool]:
+        """Newest record materializing ``stage`` at ``fingerprint``:
+        (record, is_delta). A full snapshot supersedes a delta committed
+        under the same fingerprint (compaction)."""
+        full = self.last_committed(stage, fingerprint)
+        if full is not None:
+            return full, False
+        delta = self.last_committed(stage + "_delta", fingerprint)
+        if delta is not None:
+            return delta, True
+        return None, False
+
+    def chain_length(self, stage: str, fingerprint: str) -> int:
+        """Number of delta hops from ``fingerprint`` back to the nearest
+        full snapshot of ``stage`` (0 = full snapshot right here)."""
+        n, fp = 0, fingerprint
+        while True:
+            rec, is_delta = self.state_record(stage, fp)
+            if rec is None or not is_delta:
+                return n
+            n += 1
+            fp = rec.get("prior")
+            if fp is None:
+                return n
+
+    def read_state(
+        self, spark: SparkSession, stage: str, fingerprint: str
+    ) -> DataFrame | None:
+        """The full state VIEW of a logical stage at a fingerprint —
+        merge-on-read over the delta chain. None when nothing (full or
+        delta) is committed at this fingerprint; raises when a delta's
+        ancestry is missing (gc'd without compaction — gc prevents this
+        by construction, see ``gc``)."""
+        df = self._read_state_raw(spark, stage, fingerprint)
+        if df is not None and stage == "edges":
+            df = merge_edge_sets(df)
+        return df
+
+    def _read_state_raw(
+        self, spark: SparkSession, stage: str, fingerprint: str
+    ) -> DataFrame | None:
+        rec, is_delta = self.state_record(stage, fingerprint)
+        if rec is None:
+            return None
+        df = self.read_snapshot(spark, rec)
+        if not is_delta:
+            return df
+        prior_fp = rec.get("prior")
+        prior = (
+            self._read_state_raw(spark, stage, prior_fp)
+            if prior_fp is not None
+            else None
+        )
+        if prior is None:
+            raise ValueError(
+                f"broken snapshot chain: {stage} delta at {fingerprint} needs "
+                f"prior state {prior_fp}, which is not committed (expired "
+                "ancestry?) — compact before expiring, or re-run the base "
+                "pipeline"
+            )
+        delta = df.select(*prior.columns)
+        if stage == "edges":
+            return prior.unionByName(delta)
+        # url-keyed replacement: the delta's urls supersede the prior's
+        # rows (re-crawled content, relabeled components). The anti-join's
+        # build side is the O(batch) delta key set — small enough that AQE
+        # picks a broadcast from the committed parquet's size stats; not
+        # forced, so an unusually large delta degrades to a shuffle join
+        # instead of an OOM.
+        return prior.join(delta.select("url"), "url", "left_anti").unionByName(delta)
 
     def read_or_compute(
         self,
@@ -269,7 +431,58 @@ class TableIO:
         self.backend.write_metric(df, stage, name)
 
     # -- retention ---------------------------------------------------------
-    def gc(self, keep_last: int = 3, metrics_keep_days: float | None = None) -> dict:
+    _STATE_STAGES = ("blocked", "edges", "labels")
+
+    def _ancestry(self, fingerprints: set[str]) -> set[str]:
+        """Fingerprints whose snapshots are REQUIRED to reconstruct the
+        state views of ``fingerprints``: walk each delta chain back to
+        its nearest full snapshot. Compaction batches commit all three
+        state stages together, so one walk per stage suffices."""
+        needed: set[str] = set()
+        for fp in fingerprints:
+            for stage in self._STATE_STAGES:
+                cur = fp
+                while True:
+                    rec, is_delta = self.state_record(stage, cur)
+                    if rec is None or not is_delta:
+                        break
+                    cur = rec.get("prior")
+                    if cur is None or cur in needed:
+                        break
+                    needed.add(cur)
+        return needed - fingerprints
+
+    def compact_state(self, spark: SparkSession, fingerprint: str) -> list[str]:
+        """Materialize full snapshots for every delta-backed state stage at
+        ``fingerprint`` (merge-on-read → rewritten full state), making it
+        self-contained so its ancestry can expire. Returns the stages
+        compacted. The Iceberg analog is a rewrite_data_files compaction
+        followed by expireSnapshots."""
+        compacted = []
+        for stage in self._STATE_STAGES:
+            rec, is_delta = self.state_record(stage, fingerprint)
+            if rec is None or not is_delta:
+                continue
+            view = self.read_state(spark, stage, fingerprint)
+            self.commit(
+                view,
+                stage,
+                fingerprint,
+                extra={
+                    "kind": "full",
+                    "compacted_from": rec["snapshot_id"],
+                    **({"cfg_fp": rec["cfg_fp"]} if "cfg_fp" in rec else {}),
+                },
+            )
+            compacted.append(stage)
+        return compacted
+
+    def gc(
+        self,
+        keep_last: int = 3,
+        metrics_keep_days: float | None = None,
+        spark: SparkSession | None = None,
+    ) -> dict:
         """Expire old snapshots: keep the last ``keep_last`` fingerprints
         (by first-commit order) plus the chain head (the fingerprint of
         the newest ``labels`` record — what a restarted stream chains on).
@@ -283,6 +496,15 @@ class TableIO:
         store for a long-running continuous-ER deployment. Metrics are
         write-once observability outputs, never read by resume, so
         pruning them can never invalidate a snapshot chain.
+
+        Delta chains (incremental folds) add an invariant: a kept
+        fingerprint's state must stay RECONSTRUCTIBLE. With ``spark``
+        given, gc first compacts every kept delta-backed head into full
+        snapshots (``compact_state``) so its ancestry can expire; without
+        a session it cannot rewrite data, so it keeps the ancestry
+        instead (reported as ``ancestry_kept``) — retention is weaker,
+        never broken.
+
         Crash-safe ordering: the compacted manifest is PUBLISHED first
         (atomic os.replace), then dropped snapshot directories are
         deleted — a crash in between leaves orphan directories (harmless,
@@ -296,12 +518,23 @@ class TableIO:
             if rec["fingerprint"] not in fps:
                 fps.append(rec["fingerprint"])
         head = next(
-            (r["fingerprint"] for r in reversed(records) if r["stage"] == "labels"),
+            (
+                r["fingerprint"]
+                for r in reversed(records)
+                if r["stage"] in ("labels", "labels_delta")
+            ),
             None,
         )
         keep = set(fps[-keep_last:]) if keep_last > 0 else set()
         if head is not None:
             keep.add(head)
+        compacted_stages: list[str] = []
+        if spark is not None:
+            for fp in sorted(keep):
+                compacted_stages.extend(self.compact_state(spark, fp))
+            records = self._read_manifest()  # compaction appended records
+        ancestry = self._ancestry(keep)
+        keep |= ancestry
         kept = [r for r in records if r["fingerprint"] in keep]
         dropped = [r for r in records if r["fingerprint"] not in keep]
 
@@ -322,5 +555,7 @@ class TableIO:
             "dropped_records": len(dropped),
             "kept_fingerprints": sorted(keep),
             "chain_head": head,
+            "ancestry_kept": sorted(ancestry),
+            "compacted_stages": compacted_stages,
             "metrics_dropped": metrics_dropped,
         }

@@ -49,8 +49,10 @@ def latest_state_fingerprint(io: TableIO, expect_cfg_fp: str | None = None) -> s
     ``cfg_fp`` (tables.commit extra); a mismatch raises. Records from
     before cfg_fp existed can't be validated and pass through.
     """
+    # incremental folds commit the labels stage as a DELTA snapshot
+    # (merge-on-read chain); either record form marks a complete state
     for rec in reversed(io._read_manifest()):
-        if rec["stage"] == "labels":
+        if rec["stage"] in ("labels", "labels_delta"):
             rec_cfg = rec.get("cfg_fp")
             if (
                 expect_cfg_fp is not None

@@ -1,0 +1,107 @@
+"""Per-phase profile of the incremental fold at bench scale.
+
+Mirrors bench.py's _incremental_section (same corpus, same 10% batch,
+same tmpfs snapshot root) but wraps every TableIO storage touch with a
+wall-clock timer and prints a breakdown, so "where do the fold's seconds
+go" is measured instead of guessed. Diagnostic only — never part of the
+recorded bench artifact.
+
+Usage: python scripts/profile_incremental.py [n_pages] [cpus]
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+PHASES: list[tuple[str, float]] = []
+
+
+def timed(label: str, fn, *a, **kw):
+    t0 = time.perf_counter()
+    out = fn(*a, **kw)
+    PHASES.append((label, time.perf_counter() - t0))
+    return out
+
+
+def main() -> None:
+    from ai_data_matching_spark.cache import release_persisted
+    from ai_data_matching_spark.operators.incremental import run_incremental
+    from ai_data_matching_spark.pipeline import run_pipeline
+    from ai_data_matching_spark.session import build_session
+    from ai_data_matching_spark.sources.tables import TableIO
+    from ai_data_matching_spark.synth import generate_pages
+    from pyspark.sql import functions as F
+
+    spark = build_session(
+        app_name="profile-inc",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=2 * CPUS,
+    )
+    shm = "/dev/shm/spark-bench"
+    root = tempfile.mkdtemp(prefix="prof-inc-", dir=shm if os.path.isdir(shm) else None)
+    io = TableIO(root)
+
+    # instrument every storage touch
+    orig_commit, orig_metric, orig_read = io.commit, io.write_metric, io.read_snapshot
+
+    def commit(df, stage, fingerprint, extra=None):
+        return timed(f"commit[{stage}]", orig_commit, df, stage, fingerprint, extra=extra)
+
+    def write_metric(df, stage, name):
+        return timed(f"metric[{stage}/{name.rsplit('_', 1)[0]}]", orig_metric, df, stage, name)
+
+    io.commit = commit
+    io.write_metric = write_metric
+
+    all_pages = generate_pages(spark, N_PAGES, seed=42).drop("entity_id")
+    is_batch = F.pmod(F.xxhash64("url"), F.lit(10)) == 0
+    base = all_pages.filter(~is_batch).persist()
+    n_base = base.count()
+    # warm python workers
+    run_pipeline(spark, all_pages.limit(2000), io=None).assigned.count()
+    release_persisted()
+    spark.catalog.clearCache()
+
+    t0 = time.perf_counter()
+    run_pipeline(spark, base, io=io)
+    t_base = time.perf_counter() - t0
+    base.unpersist()
+    release_persisted()
+    spark.catalog.clearCache()
+    PHASES.clear()  # only profile the fold
+
+    batch = all_pages.filter(is_batch).persist()
+    n_batch = batch.count()
+    t0 = time.perf_counter()
+    inc = run_incremental(spark, batch, io, "prof-b1")
+    t_mid = time.perf_counter()
+    n_assigned = inc.assigned.count()
+    t_tail = time.perf_counter() - t_mid
+    dt = time.perf_counter() - t0
+    batch.unpersist()
+
+    print(f"\nbase: {n_base} docs in {t_base:.2f}s | fold: {n_batch} docs in {dt:.2f}s")
+    print(f"assigned materialize (post-return): {t_tail:.2f}s ({n_assigned} rows)")
+    acc = 0.0
+    for label, secs in PHASES:
+        acc += secs
+        print(f"  {label:<40s} {secs:7.2f}s")
+    print(f"  {'(storage-touch total)':<40s} {acc:7.2f}s")
+    print(f"  {'(untimed remainder: joins/metrics/CC)':<40s} {dt - t_tail - acc:7.2f}s")
+    anchor = t_base * ((n_base + n_batch) / n_base)
+    print(f"speedup vs recompute anchor: {anchor / dt:.2f}x (anchor {anchor:.2f}s)")
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

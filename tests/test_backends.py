@@ -44,6 +44,14 @@ class RecordingBackend(ParquetSnapshotBackend):
         self.calls.append(("write_lineage", stage))
         super().write_lineage(df, stage, snapshot_id)
 
+    def write_lineage_rows(self, per_part_rows, stage, snapshot_id):
+        # the footer fast path routes lineage through this seam instead of
+        # write_lineage — record it under the same label: the invariant
+        # under test is "lineage goes through the backend", not which of
+        # the two entry points carried it
+        self.calls.append(("write_lineage", stage))
+        super().write_lineage_rows(per_part_rows, stage, snapshot_id)
+
     def read_snapshot(self, spark, rec):
         self.calls.append(("read_snapshot",))
         return super().read_snapshot(spark, rec)

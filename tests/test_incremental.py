@@ -194,7 +194,9 @@ def test_recrawl_changed_content_updates_state(spark, tmp_path):
     assert inc.assigned.count() == 5  # one row per url, no duplicates
 
     # the blocked state carries c.com/1's NEW content (simhash == b.com/1's)
-    blocked = io.read_snapshot(spark, io.last_committed("blocked", inc.fingerprint))
+    # — read through the state-view API (the fold commits a DELTA; the
+    # full view is merge-on-read over the chain)
+    blocked = io.read_state(spark, "blocked", inc.fingerprint)
     sims = {r["url"]: r["simhash"] for r in blocked.select("url", "simhash").collect()}
     assert sims["http://c.com/1"] == sims["http://b.com/1"]
 
@@ -227,12 +229,22 @@ def test_gc_compacted_chain_still_resumes(spark, pages_small, tmp_path):
     inc1 = run_incremental(spark, b1, io, "b1", cfg=CFG)
     inc2 = run_incremental(spark, b2, io, "b2", cfg=CFG, prior_fingerprint=inc1.fingerprint)
 
+    # capture the resolved partition BEFORE gc: inc2.assigned is a lazy
+    # plan over the delta chain, and expiring the chain's ancestry
+    # invalidates pre-gc readers (same contract as Iceberg's
+    # expireSnapshots) — the STORED state survives via compaction
+    inc2_parts = _partition(inc2.assigned)
     dropped_paths = [
         rec["path"]
         for rec in io._read_manifest()
         if rec["fingerprint"] in (base_res.fingerprint, inc1.fingerprint)
     ]
-    report = io.gc(keep_last=1)
+    # gc COMPACTS the delta-backed head (full blocked/edges/labels
+    # materialized at inc2's fingerprint) before expiring its ancestry —
+    # without the session it would have to keep the ancestry instead
+    report = io.gc(keep_last=1, spark=spark)
+    assert set(report["compacted_stages"]) == {"blocked", "edges", "labels"}
+    assert report["ancestry_kept"] == []
     assert report["chain_head"] == inc2.fingerprint
     assert inc2.fingerprint in report["kept_fingerprints"]
     assert report["dropped_records"] > 0
@@ -244,9 +256,73 @@ def test_gc_compacted_chain_still_resumes(spark, pages_small, tmp_path):
         spark, b2, io, "b2", cfg=CFG, prior_fingerprint=inc1.fingerprint
     )
     assert set(rerun.resumed_stages) == {"blocked", "edges", "labels"}
-    assert _partition(rerun.assigned) == _partition(inc2.assigned)
+    assert _partition(rerun.assigned) == inc2_parts
 
     # and the next batch chains on the compacted head
     inc3 = run_incremental(spark, b3, io, "b3", cfg=CFG, prior_fingerprint=inc2.fingerprint)
     full = run_pipeline(spark, pages, cfg=CFG)
     assert _partition(inc3.assigned) == _partition(full.assigned)
+
+
+def test_delta_commits_are_batch_sized_and_compaction_bounds_chain(
+    spark, pages_small, tmp_path
+):
+    """The fold must never rewrite O(history) state: each batch commits
+    blocked/edges/labels DELTAS sized by the batch, and every
+    ``compact_every``-th batch materializes full snapshots so the read
+    chain resets (the merge-on-read + compaction contract)."""
+    pages = pages_small.drop("entity_id")
+    base = _split(pages, 4, 0).unionByName(_split(pages, 4, 1))
+    b1 = _split(pages, 4, 2)
+    b2 = _split(pages, 4, 3)
+
+    io = TableIO(str(tmp_path / "snaps"))
+    run_pipeline(spark, base, io=io, cfg=CFG)
+    inc1 = run_incremental(spark, b1, io, "b1", cfg=CFG, compact_every=2)
+
+    # batch 1: pure delta commits, sized by the batch — not the history
+    d_rec = io.last_committed("blocked_delta", inc1.fingerprint)
+    assert d_rec is not None and d_rec["kind"] == "delta"
+    assert d_rec["row_count"] <= b1.count()
+    assert io.last_committed("blocked", inc1.fingerprint) is None  # no full rewrite
+    assert io.chain_length("blocked", inc1.fingerprint) == 1
+
+    # batch 2 is the compact_every-th: full snapshots land, chain resets
+    inc2 = run_incremental(
+        spark, b2, io, "b2", cfg=CFG, prior_fingerprint=inc1.fingerprint, compact_every=2
+    )
+    for stage in ("blocked", "edges", "labels"):
+        full_rec = io.last_committed(stage, inc2.fingerprint)
+        assert full_rec is not None and full_rec["kind"] == "full", stage
+    assert io.chain_length("blocked", inc2.fingerprint) == 0
+
+    # compacted state == what a full recompute resolves
+    full = run_pipeline(spark, pages, cfg=CFG)
+    assert _partition(inc2.assigned) == _partition(full.assigned)
+
+
+def test_gc_without_session_keeps_delta_ancestry(spark, pages_small, tmp_path):
+    """gc() with no SparkSession cannot compact, so it must KEEP the
+    ancestry a kept delta chain needs — weaker retention, never a broken
+    chain."""
+    import os
+
+    pages = pages_small.drop("entity_id")
+    base = _split(pages, 3, 0)
+    b1 = _split(pages, 3, 1)
+    b2 = _split(pages, 3, 2)
+
+    io = TableIO(str(tmp_path / "snaps"))
+    base_res = run_pipeline(spark, base, io=io, cfg=CFG)
+    inc1 = run_incremental(spark, b1, io, "b1", cfg=CFG)
+    inc2 = run_incremental(spark, b2, io, "b2", cfg=CFG, prior_fingerprint=inc1.fingerprint)
+
+    report = io.gc(keep_last=1)  # no spark → no compaction possible
+    assert set(report["ancestry_kept"]) == {base_res.fingerprint, inc1.fingerprint}
+    assert report["compacted_stages"] == []
+
+    # the head state is still fully reconstructible from disk
+    blocked = io.read_state(spark, "blocked", inc2.fingerprint)
+    assert blocked.count() == pages.count()
+    for rec in io._read_manifest():
+        assert os.path.exists(rec["path"]), rec["stage"]

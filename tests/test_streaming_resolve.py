@@ -43,8 +43,9 @@ def test_drops_fold_into_committed_state(spark, pages_small, tmp_path):
     fp2 = latest_state_fingerprint(io)
     assert fp2 != fp1
 
-    labels = io.read_snapshot(spark, io.last_committed("labels", fp2))
-    blocked = io.read_snapshot(spark, io.last_committed("blocked", fp2))
+    # incremental epochs commit DELTAS; the full state is a chain view
+    labels = io.read_state(spark, "labels", fp2)
+    blocked = io.read_state(spark, "blocked", fp2)
     from ai_data_matching_spark.operators.clustering import cluster_assignments
 
     assigned = cluster_assignments(blocked.select("url"), labels)
