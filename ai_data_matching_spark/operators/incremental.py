@@ -590,7 +590,36 @@ def run_incremental(
     assigned = cluster_assignments(pages_slim, labels)
     clusters = consolidate_clusters(assigned, edges)
     stats = match_statistics(assigned, edges)
-    io.write_metric(stats, "final", f"match_statistics_{batch_id}")
+
+    # Per-batch observability is DELTA-scoped. The previous form wrote
+    # the full-state match_statistics row per fold — an O(history)
+    # aggregation per batch, the wrong cost shape at 10^12 docs (and a
+    # measured 1.3 s of the fold's ~12 s floor at bench scale). The
+    # match-count + score-distribution metrics the checkpoint contract
+    # asks for describe THIS batch's output, which is the committed
+    # O(batch) edge delta; the full-state stats row stays available as
+    # the LAZY ``PipelineResult.stats`` view (zero jobs unless the
+    # caller consumes it), and a compaction batch materializes state
+    # anyway. batch_ingest_* (above) already covers page-level counts.
+    from .scoring import score_histogram
+
+    edge_delta = io.read_snapshot(spark, io.last_committed("edges_delta", fp))
+    io.write_metric(
+        edge_delta.agg(
+            F.lit(batch_id).alias("batch_id"),
+            F.coalesce(
+                F.sum((F.col("match_type") == "exact").cast("long")), F.lit(0)
+            ).alias("n_exact_edges_emitted"),
+            F.coalesce(
+                F.sum((F.col("match_type") == "fuzzy").cast("long")), F.lit(0)
+            ).alias("n_fuzzy_edges_emitted"),
+        ),
+        "final",
+        f"batch_edges_{batch_id}",
+    )
+    io.write_metric(
+        score_histogram(edge_delta), "final", f"batch_score_histogram_{batch_id}"
+    )
 
     return PipelineResult(
         assigned=assigned,

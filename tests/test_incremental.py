@@ -211,6 +211,28 @@ def test_recrawl_changed_content_updates_state(spark, tmp_path):
         "dropped_replay_or_stale": 2,
     }
 
+    # per-batch match metrics are DELTA-scoped: counts + score histogram
+    # of THIS batch's committed edge delta (never an O(history)
+    # aggregation per fold); both must tie out against the delta snapshot
+    delta_rec = io.last_committed("edges_delta", inc.fingerprint)
+    n_delta = spark.read.parquet(delta_rec["path"]).count()
+    assert n_delta >= 1  # the changed c.com/1 rescored against b.com/1
+    em = (
+        spark.read.parquet(
+            os.path.join(str(tmp_path / "snaps"), "_metrics", "final", "batch_edges_b1")
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert em["batch_id"] == "b1"
+    assert em["n_exact_edges_emitted"] + em["n_fuzzy_edges_emitted"] == n_delta
+    hist = spark.read.parquet(
+        os.path.join(
+            str(tmp_path / "snaps"), "_metrics", "final", "batch_score_histogram_b1"
+        )
+    )
+    assert hist.agg(F.sum("n_pairs")).collect()[0][0] == n_delta
+
 
 def test_gc_compacted_chain_still_resumes(spark, pages_small, tmp_path):
     """Snapshot retention: gc(keep_last=1) keeps the chain head; a killed
