@@ -394,8 +394,21 @@ def run_incremental(
     # committed snapshot — see batch_ingest metric below).
     rest = [c for c in BLOCKED_COLS if c != "url"]
 
+    def _with_content_hash(df: DataFrame) -> DataFrame:
+        """Ensure the committed content hash column exists. The base
+        pipeline commits ``norm_text_hash = xxhash64(norm_text)`` into the
+        blocked snapshot so the fold's classify join below compares
+        fixed-width columns ONLY — without the committed column, every
+        fold re-reads and re-hashes the whole history's norm_text (the
+        one wide column) just to test "did this url's content change?".
+        Chains committed by pre-hash code fall back to hashing on read —
+        same function, same input, so classification is identical."""
+        if "norm_text_hash" in df.columns:
+            return df
+        return df.withColumn("norm_text_hash", F.xxhash64("norm_text"))
+
     def _blocked_delta() -> DataFrame:
-        prior_blocked = _prior("blocked").select(*BLOCKED_COLS)
+        prior_blocked = _with_content_hash(_prior("blocked"))
         batch = with_extract_sketch_keys(
             new_pages,
             n_simhash_bands=cfg.n_simhash_bands,
@@ -421,7 +434,9 @@ def run_incremental(
         # wider than necessary. Content equality is xxhash64(norm_text)
         # + simhash (both deterministic; a misclassification needs a
         # 64-bit hash collision AND an identical simhash on different
-        # text). Newer-vs-stale compares
+        # text); the hash is the COMMITTED norm_text_hash column, so the
+        # parquet scan below reads six fixed-width columns and norm_text
+        # never leaves history's column chunks. Newer-vs-stale compares
         # (warc_ts, lang, norm_domain, text-hash, simhash) — the same
         # leading fields as the within-batch max-struct rule, with the
         # content hash as the deterministic tiebreak instead of
@@ -436,7 +451,7 @@ def run_incremental(
             F.col("warc_ts").alias("_p_ts"),
             F.col("lang").alias("_p_lang"),
             F.col("norm_domain").alias("_p_nd"),
-            F.xxhash64("norm_text").alias("_p_th"),
+            F.col("norm_text_hash").alias("_p_th"),
             F.col("simhash").alias("_p_sh"),
             F.lit(True).alias("_in_prior"),
         )
@@ -460,10 +475,14 @@ def run_incremental(
         # O(batch), never the O(history) union (the view below merges on
         # read). No persist needed: the commit materializes it once and
         # every later consumer reads the committed parquet.
+        # the batch's own content hash (_b_th) is committed with the delta
+        # so the NEXT fold's merged prior view keeps the fast classify path
         return (
             cmp.withColumn("_batch_status", status)
             .filter(F.col("_batch_status").isin("new", "changed"))
-            .select("url", *rest, "_batch_status")
+            .select(
+                "url", *rest, F.col("_b_th").alias("norm_text_hash"), "_batch_status"
+            )
         )
 
     kept = stage_delta("blocked", _blocked_delta)
@@ -474,19 +493,27 @@ def run_incremental(
         so a fully-resumed retry never touches the prior chain (which a
         gc-compacted head may have expired)."""
         changed_urls = kept.filter(F.col("_batch_status") == "changed").select("url")
+        # norm_text_hash rides along (compat-filled on pre-hash chains) so
+        # a compaction batch bakes it into the full snapshot; the edge
+        # consumers below never select it — column pruning drops it
         prior_keep = (
-            _prior("blocked")
-            .select(*BLOCKED_COLS)
+            _with_content_hash(_prior("blocked"))
+            .select(*BLOCKED_COLS, "norm_text_hash")
             .join(changed_urls, "url", "left_anti")
         )
         return (
             prior_keep.withColumn("_is_new", F.lit(False))
             .withColumn("_batch_status", F.lit(None).cast("string"))
-            .unionByName(kept.withColumn("_is_new", F.lit(True)))
+            .unionByName(_with_content_hash(kept).withColumn("_is_new", F.lit(True)))
         )
 
     if compact and io.last_committed("blocked", fp) is None:
-        io.commit(_blocked_view().select(*BLOCKED_COLS), "blocked", fp, extra=full_extra)
+        io.commit(
+            _blocked_view().select(*BLOCKED_COLS, "norm_text_hash"),
+            "blocked",
+            fp,
+            extra=full_extra,
+        )
 
     # ingest observability: new / changed(updated) / dropped(replay|stale)
     # per batch. Cheap by construction — one scan of the slim committed

@@ -140,8 +140,18 @@ def run_pipeline(
         extracted = stage("extract", lambda: _extract(pages))
         # extracted_text is not carried into the blocked snapshot: every
         # consumer (exact groups, pair generation, payload attach) reads
-        # only (url, norm_domain, norm_text, sketches)
-        blocked = stage("blocked", lambda: _sketch(extracted.drop("extracted_text")))
+        # only (url, norm_domain, norm_text, sketches). norm_text_hash is
+        # committed alongside so an incremental fold can classify
+        # re-crawled urls (content changed vs replay) by comparing
+        # fixed-width columns only — without it every fold re-reads and
+        # re-hashes the whole history's norm_text, the one wide column,
+        # just to answer "did this url's content change?"
+        blocked = stage(
+            "blocked",
+            lambda: _sketch(extracted.drop("extracted_text")).withColumn(
+                "norm_text_hash", F.xxhash64("norm_text")
+            ),
+        )
 
     # stage 3 — phase-1 exact star edges
     exact = stage("exact_edges", lambda: exact_match_edges(blocked))
