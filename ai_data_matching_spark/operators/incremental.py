@@ -455,6 +455,19 @@ def run_incremental(
             F.col("simhash").alias("_p_sh"),
             F.lit(True).alias("_in_prior"),
         )
+        # Cut the prior side to the batch's url set BEFORE the outer join:
+        # a left-outer join can only broadcast its RIGHT side, so with the
+        # O(history) prior on the right Spark sort-merge-shuffles BOTH
+        # sides — the whole history's keys reshuffled per fold. After this
+        # broadcast semi-join the survivor set is O(batch ∩ history) and
+        # AQE broadcasts it, so history is scanned (column-pruned) but
+        # never shuffled. Dropping non-batch urls is a no-op for a left
+        # join keyed on the batch's urls. Same O(batch)-broadcast contract
+        # as batch_keys in the exact/candidate stages; urls come from the
+        # raw input (not the sketched batch) so the Arrow extract is never
+        # computed twice.
+        batch_urls = new_pages.select("url").dropDuplicates()
+        prior_keyed = prior_keyed.join(F.broadcast(batch_urls), "url", "left_semi")
         cmp = batch.withColumn("_b_th", F.xxhash64("norm_text")).join(
             prior_keyed, "url", "left"
         )
