@@ -348,3 +348,39 @@ def test_gc_without_session_keeps_delta_ancestry(spark, pages_small, tmp_path):
     assert blocked.count() == pages.count()
     for rec in io._read_manifest():
         assert os.path.exists(rec["path"]), rec["stage"]
+
+
+def test_blocked_delta_plan_never_shuffles_history(spark, pages_small, tmp_path):
+    """The fold's classify stage must keep the O(history) prior side
+    scan-only: the re-crawl classification joins the batch against a
+    broadcast-semi CUT of the prior blocked state (incremental.py
+    _blocked_delta) — if the cut regresses, Spark plans a SortMergeJoin
+    that re-shuffles the whole history's keys every fold. Pin the
+    executed stage's plan: broadcast joins only, no sort-merge."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    pages = pages_small.drop("entity_id")
+    base = _split(pages, 3, 0).unionByName(_split(pages, 3, 1))
+    batch = _split(pages, 3, 2)
+
+    tio = TableIO(str(tmp_path / "snaps"))
+    run_pipeline(spark, base, io=tio, cfg=CFG)
+
+    plans = {}
+    orig_commit = tio.commit
+
+    def commit(df, stage, fingerprint, extra=None):
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plans[stage] = buf.getvalue()
+        return orig_commit(df, stage, fingerprint, extra=extra)
+
+    tio.commit = commit
+    run_incremental(spark, batch, tio, "b1", cfg=CFG)
+
+    plan = plans["blocked_delta"]
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin LeftOuter" in plan, plan
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
