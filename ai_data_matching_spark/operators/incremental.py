@@ -9,15 +9,17 @@ re-scores O(history) pairs to add O(batch) new ones. This module scores
 only pairs that TOUCH the new batch:
 
 * blocking — the batch is sketched with the same fused Arrow kernel and
-  classified against the committed state BY CONTENT: byte-identical
-  replays are dropped (no-op), re-crawls with changed content REPLACE
-  the prior row (latest crawl wins) and are rescored, stale out-of-order
-  crawls are dropped; everything kept is unioned with the surviving
-  prior ``blocked`` snapshot under an ``_is_new`` flag. Hot-key (skew)
-  exclusion is computed over the UNION block sizes, i.e. the same cap
-  decisions a full recompute over history ∪ batch would make for the
-  new pairs. Per-batch ingest counts (new / changed / dropped) are
-  committed as a ``batch_ingest_*`` metric.
+  classified against the committed state BY CONTENT: older-or-equal
+  byte-identical replays are dropped (no-op), NEWER byte-identical
+  re-crawls refresh the stored metadata (warc_ts advances, no rescore),
+  re-crawls with changed content REPLACE the prior row (latest crawl
+  wins) and are rescored, stale out-of-order crawls are dropped;
+  everything kept is unioned with the surviving prior ``blocked``
+  snapshot under an ``_is_new`` flag (False for refreshes). Hot-key
+  (skew) exclusion is computed over the UNION block sizes, i.e. the
+  same cap decisions a full recompute over history ∪ batch would make
+  for the new pairs. Per-batch ingest counts (new / changed /
+  refreshed / dropped) are committed as a ``batch_ingest_*`` metric.
 * candidate generation — an asymmetric equi-join: new-side keys against
   all-side keys, so old-old pairs are never materialized. Orientation,
   Hamming prefilter, cross-key dedup and payload attach are shared with
@@ -377,10 +379,15 @@ def run_incremental(
     # re-crawled pages whose content changed, so their new sketches never
     # updated edges/clusters):
     #   * url absent from state                        → 'new'
-    #   * url present, identical norm_text+simhash     → replay, dropped
-    #     (true no-op: a replayed epoch — crash between the snapshot
-    #     manifest commit and the stream checkpoint commit — never
-    #     double-counts assigned/clusters/match_statistics)
+    #   * url present, identical norm_text+simhash, crawl older-or-equal
+    #     → replay, dropped (true no-op: a replayed epoch — crash between
+    #     the snapshot manifest commit and the stream checkpoint commit —
+    #     never double-counts assigned/clusters/match_statistics)
+    #   * url present, identical content, crawl NEWER  → 'refresh': the
+    #     stored row's metadata advances (warc_ts) with NO rescore —
+    #     otherwise a later out-of-order older crawl with different
+    #     content would beat the stale stored timestamp and diverge from
+    #     a full recompute's latest-crawl-wins pick
     #   * url present, content CHANGED, crawl newer    → 'changed': the
     #     batch row REPLACES the prior blocked row (latest crawl wins,
     #     same deterministic max-struct rule as within-batch dedup) and
@@ -474,14 +481,22 @@ def run_incremental(
         same_content = F.col("_b_th").eqNullSafe(F.col("_p_th")) & F.col(
             "simhash"
         ).eqNullSafe(F.col("_p_sh"))
+        newer = _key("warc_ts", "lang", "norm_domain", "_b_th", "simhash") > _key(
+            "_p_ts", "_p_lang", "_p_nd", "_p_th", "_p_sh"
+        )
+        # same-content re-crawls split on the SAME newer-vs-stale key as
+        # changed ones: a byte-identical crawl with a newer key is a
+        # "refresh" — it must advance the stored warc_ts (metadata-only
+        # row replacement, no rescore) or a later out-of-order OLDER
+        # crawl with different content would compare against the stale
+        # timestamp, win, and diverge from a full recompute's
+        # latest-crawl-wins max-struct pick. Only an older-or-equal
+        # identical crawl is a droppable "replay".
         status = (
             F.when(F.col("_in_prior").isNull(), F.lit("new"))
+            .when(same_content & newer, F.lit("refresh"))
             .when(same_content, F.lit("replay"))
-            .when(
-                _key("warc_ts", "lang", "norm_domain", "_b_th", "simhash")
-                > _key("_p_ts", "_p_lang", "_p_nd", "_p_th", "_p_sh"),
-                F.lit("changed"),
-            )
+            .when(newer, F.lit("changed"))
             .otherwise(F.lit("stale"))
         )
         # the stage's COMMITTED artifact is the kept delta alone —
@@ -492,7 +507,7 @@ def run_incremental(
         # so the NEXT fold's merged prior view keeps the fast classify path
         return (
             cmp.withColumn("_batch_status", status)
-            .filter(F.col("_batch_status").isin("new", "changed"))
+            .filter(F.col("_batch_status").isin("new", "changed", "refresh"))
             .select(
                 "url", *rest, F.col("_b_th").alias("norm_text_hash"), "_batch_status"
             )
@@ -505,7 +520,12 @@ def run_incremental(
         stage consumes. LAZY — only a recomputing edge stage builds it,
         so a fully-resumed retry never touches the prior chain (which a
         gc-compacted head may have expired)."""
-        changed_urls = kept.filter(F.col("_batch_status") == "changed").select("url")
+        # refresh rows replace their prior row too (newer warc_ts, same
+        # content) — they must join the supersede set or the view holds
+        # two rows per refreshed url
+        changed_urls = kept.filter(
+            F.col("_batch_status").isin("changed", "refresh")
+        ).select("url")
         # norm_text_hash rides along (compat-filled on pre-hash chains) so
         # a compaction batch bakes it into the full snapshot; the edge
         # consumers below never select it — column pruning drops it
@@ -517,7 +537,16 @@ def run_incremental(
         return (
             prior_keep.withColumn("_is_new", F.lit(False))
             .withColumn("_batch_status", F.lit(None).cast("string"))
-            .unionByName(_with_content_hash(kept).withColumn("_is_new", F.lit(True)))
+            .unionByName(
+                # refresh rows are metadata-only replacements: identical
+                # content → identical block keys and sketches → every
+                # prior edge stays valid, so they must NOT re-enter the
+                # edge stages as new rows (that would rescore their whole
+                # block for a timestamp bump)
+                _with_content_hash(kept).withColumn(
+                    "_is_new", F.col("_batch_status") != F.lit("refresh")
+                )
+            )
         )
 
     if compact and io.last_committed("blocked", fp) is None:
@@ -528,7 +557,8 @@ def run_incremental(
             extra=full_extra,
         )
 
-    # ingest observability: new / changed(updated) / dropped(replay|stale)
+    # ingest observability: new / changed(updated) / refreshed(ts-only) /
+    # dropped(replay|stale)
     # per batch. Cheap by construction — one scan of the slim committed
     # snapshot plus a column-pruned distinct over the batch urls; guarded
     # so resuming a snapshot committed by a pre-status code version skips
@@ -557,9 +587,10 @@ def run_incremental(
                 pick("_total").alias("batch_urls"),
                 pick("new").alias("new_urls"),
                 pick("changed").alias("recrawl_changed"),
-                (pick("_total") - pick("new") - pick("changed")).alias(
-                    "dropped_replay_or_stale"
-                ),
+                pick("refresh").alias("recrawl_refreshed"),
+                (
+                    pick("_total") - pick("new") - pick("changed") - pick("refresh")
+                ).alias("dropped_replay_or_stale"),
             ),
             "blocked",
             f"batch_ingest_{batch_id}",
@@ -568,7 +599,36 @@ def run_incremental(
     def _edges_delta() -> DataFrame:
         from ..cache import persist_tracked
 
-        blocked = _blocked_view()
+        # On a compaction fold the full blocked snapshot was committed
+        # just above — read IT back instead of rebuilding _blocked_view(),
+        # whose O(history) prior-scan + anti-join + union would otherwise
+        # execute a SECOND time inside this stage's commit (the committed
+        # parquet and the view hold identical rows by construction). The
+        # _is_new flag is reconstructed from the O(batch) kept delta;
+        # refresh rows stay False, same as the view. Pre-status resumed
+        # chains have no _batch_status column — there every kept row was
+        # new/changed, so the unfiltered url set is the same flag.
+        full_rec = io.last_committed("blocked", fp)
+        if full_rec is not None:
+            rescored = (
+                kept.filter(F.col("_batch_status") != F.lit("refresh"))
+                if "_batch_status" in kept.columns
+                else kept
+            )
+            blocked = (
+                io.read_snapshot(spark, full_rec)
+                .join(
+                    F.broadcast(
+                        rescored.select("url", F.lit(True).alias("_kept_new"))
+                    ),
+                    "url",
+                    "left",
+                )
+                .withColumn("_is_new", F.coalesce(F.col("_kept_new"), F.lit(False)))
+                .drop("_kept_new")
+            )
+        else:
+            blocked = _blocked_view()
         # persisted: exact_inc feeds BOTH the route_unmatched anti-join
         # and the edge union inside one action — Spark does not share
         # common subtrees across DAG branches, so without the persist the

@@ -36,6 +36,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -181,14 +182,24 @@ class IcebergSnapshotBackend:
         self.namespace = namespace
 
     # -- ident plumbing (unit-testable without an Iceberg jar) -----------
+    @staticmethod
+    def _safe(part: str) -> str:
+        """Caller-supplied segments (stage, batch-id-bearing metric names)
+        go into UNQUOTED multipart identifiers — a hyphen or dot (e.g.
+        batch_id='2026-08-19' → metric 'batch_ingest_2026-08-19') would
+        raise a ParseException mid-fold. Map anything outside [A-Za-z0-9_]
+        to '_'; the parquet backend accepts the raw name, so sanitizing
+        here keeps both backends accepting the same batch ids."""
+        return re.sub(r"[^A-Za-z0-9_]", "_", part)
+
     def table_ident(self, stage: str, snapshot_id: str) -> str:
-        return f"{self.catalog}.{self.namespace}.{stage}_{snapshot_id}"
+        return f"{self.catalog}.{self.namespace}.{self._safe(stage)}_{self._safe(snapshot_id)}"
 
     def lineage_ident(self, stage: str, snapshot_id: str) -> str:
         return self.table_ident(stage, snapshot_id) + "_lineage"
 
     def metric_ident(self, stage: str, name: str) -> str:
-        return f"{self.catalog}.{self.namespace}._metrics_{stage}_{name}"
+        return f"{self.catalog}.{self.namespace}._metrics_{self._safe(stage)}_{self._safe(name)}"
 
     def drop_ddl(self, ident: str) -> str:
         return f"DROP TABLE IF EXISTS {ident}"
@@ -373,7 +384,15 @@ class TableIO:
         by construction, see ``gc``)."""
         df = self._read_state_raw(spark, stage, fingerprint)
         if df is not None and stage == "edges":
-            df = merge_edge_sets(df)
+            # the max-struct dedup is only needed when a delta CHAIN was
+            # unioned: a full head snapshot is already merged (compaction
+            # commits the merged view; the base pipeline's edge set is
+            # dup-free by construction — route_unmatched excludes pairs
+            # the exact stage matched). Skipping it saves a full-edge-set
+            # shuffle on every read of a compacted head.
+            _, is_delta = self.state_record(stage, fingerprint)
+            if is_delta:
+                df = merge_edge_sets(df)
         return df
 
     def _read_state_raw(

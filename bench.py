@@ -207,13 +207,21 @@ def _incremental_section(
         )
         try:
             io = TableIO(root)
-            n_base = base.count()  # re-cache: clearCache evicted the blocks
+            # clearCache DEREGISTERS the persist (not just evicts blocks) —
+            # a bare count() would recompute without caching and the timed
+            # anchor below would regenerate the synthetic corpus in-window
+            n_base = base.persist().count()
             t0 = time.perf_counter()
             run_pipeline(spark, base, io=io)  # the prior committed state
             t_base = time.perf_counter() - t0
             release_persisted()
             spark.catalog.clearCache()
-            n_batch = batch.count()  # re-cache outside the timed window
+            # re-persist, not just re-count: without it every batch scan in
+            # the timed fold (sketch, url distinct, ingest metric) would
+            # re-run generate_pages — the fold window measured synth, and
+            # the ~1.5× "fold fixed-cost floor" in earlier r04 artifacts
+            # was largely this
+            n_batch = batch.persist().count()
             t0 = time.perf_counter()
             inc = run_incremental(spark, batch, io, "bench-b1")
             _materialize(inc.assigned)

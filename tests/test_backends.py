@@ -26,6 +26,12 @@ def test_iceberg_ident_and_ddl_wiring():
     assert b.drop_ddl("prod.er.blocked_abc123") == "DROP TABLE IF EXISTS prod.er.blocked_abc123"
     # default namespace
     assert IcebergSnapshotBackend(None, "c").table_ident("s", "i").startswith("c.er_snapshots.")
+    # batch ids with hyphens/dots (run_incremental metric names embed them)
+    # must not produce an unparseable unquoted identifier
+    assert (
+        b.metric_ident("blocked", "batch_ingest_2026-08-19.b1")
+        == "prod.er._metrics_blocked_batch_ingest_2026_08_19_b1"
+    )
 
 
 class RecordingBackend(ParquetSnapshotBackend):

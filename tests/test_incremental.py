@@ -176,7 +176,7 @@ def test_recrawl_changed_content_updates_state(spark, tmp_path):
     batch = spark.createDataFrame(
         [
             mk("http://c.com/1", 10, body_b),  # re-crawl, CHANGED → matches b.com/1
-            mk("http://a.com/1", 10, body_a),  # byte-identical replay → dropped
+            mk("http://a.com/1", 10, body_a),  # identical, NEWER → refresh (ts advances)
             mk("http://a.com/2", -5, body_c),  # OLDER crawl, changed → stale, dropped
             mk("http://d.com/1", 10, "brand new page never seen before today"),
         ],
@@ -197,10 +197,16 @@ def test_recrawl_changed_content_updates_state(spark, tmp_path):
     # — read through the state-view API (the fold commits a DELTA; the
     # full view is merge-on-read over the chain)
     blocked = io.read_state(spark, "blocked", inc.fingerprint)
-    sims = {r["url"]: r["simhash"] for r in blocked.select("url", "simhash").collect()}
-    assert sims["http://c.com/1"] == sims["http://b.com/1"]
+    rows = {
+        r["url"]: r for r in blocked.select("url", "simhash", "warc_ts").collect()
+    }
+    assert rows["http://c.com/1"]["simhash"] == rows["http://b.com/1"]["simhash"]
+    # the refreshed a.com/1 advanced its stored warc_ts to the newer
+    # identical crawl (day 10) — exactly one row for the url
+    assert rows["http://a.com/1"]["warc_ts"].day == 11  # 2026-01-01 + 10d
+    assert blocked.filter(F.col("url") == "http://a.com/1").count() == 1
 
-    # ingest metric: 4 batch urls → 1 new, 1 changed, 2 dropped
+    # ingest metric: 4 batch urls → 1 new, 1 changed, 1 refreshed, 1 dropped
     metric_path = os.path.join(str(tmp_path / "snaps"), "_metrics", "blocked", "batch_ingest_b1")
     m = spark.read.parquet(metric_path).collect()[0].asDict()
     assert m == {
@@ -208,15 +214,25 @@ def test_recrawl_changed_content_updates_state(spark, tmp_path):
         "batch_urls": 4,
         "new_urls": 1,
         "recrawl_changed": 1,
-        "dropped_replay_or_stale": 2,
+        "recrawl_refreshed": 1,
+        "dropped_replay_or_stale": 1,
     }
 
     # per-batch match metrics are DELTA-scoped: counts + score histogram
     # of THIS batch's committed edge delta (never an O(history)
     # aggregation per fold); both must tie out against the delta snapshot
     delta_rec = io.last_committed("edges_delta", inc.fingerprint)
-    n_delta = spark.read.parquet(delta_rec["path"]).count()
+    edge_delta = spark.read.parquet(delta_rec["path"])
+    n_delta = edge_delta.count()
     assert n_delta >= 1  # the changed c.com/1 rescored against b.com/1
+    # the refreshed a.com/1 is metadata-only: its (identical-content)
+    # block was NOT rescored, so no a.com edge appears in the delta
+    assert (
+        edge_delta.filter(
+            F.col("src").contains("a.com") | F.col("dst").contains("a.com")
+        ).count()
+        == 0
+    )
     em = (
         spark.read.parquet(
             os.path.join(str(tmp_path / "snaps"), "_metrics", "final", "batch_edges_b1")
@@ -232,6 +248,60 @@ def test_recrawl_changed_content_updates_state(spark, tmp_path):
         )
     )
     assert hist.agg(F.sum("n_pairs")).collect()[0][0] == n_delta
+
+
+def test_refresh_advances_ts_so_out_of_order_older_crawl_stays_stale(spark, tmp_path):
+    """Latest-crawl-wins across FOLDS, not just within one batch: a
+    byte-identical re-crawl at a newer timestamp must advance the stored
+    warc_ts (status 'refresh'). If it were dropped as a plain replay, a
+    later fold delivering an out-of-order OLDER crawl with different
+    content would compare against the stale stored timestamp, win, and
+    silently diverge from a full recompute's max-struct latest-wins pick
+    over all three crawls."""
+    import datetime as dt
+
+    def mk(url, day, body):
+        html = f"<html><body><p>{body}</p></body></html>".encode()
+        return (url, dt.datetime(2026, 1, 1) + dt.timedelta(days=day), html, None, "en")
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    body_a = "alpha beta gamma delta epsilon zeta eta theta"
+    body_b = "totally different unrelated words appear here instead now"
+    base = spark.createDataFrame(
+        [mk("http://u.com/1", 0, body_a), mk("http://v.com/1", 0, body_b)], schema
+    )
+    io = TableIO(str(tmp_path / "snaps"))
+    run_pipeline(spark, base, io=io, cfg=CFG)
+
+    # fold 1: identical content at day 20 → refresh, stored ts advances
+    inc1 = run_incremental(
+        spark,
+        spark.createDataFrame([mk("http://u.com/1", 20, body_a)], schema),
+        io,
+        "b1",
+        cfg=CFG,
+    )
+    # fold 2: out-of-order older crawl (day 10) with CHANGED content —
+    # the true latest crawl (day 20) showed body_a, so this must be
+    # classified stale and dropped, exactly as a full recompute over all
+    # three crawls would pick the day-20 row
+    inc2 = run_incremental(
+        spark,
+        spark.createDataFrame([mk("http://u.com/1", 10, body_b)], schema),
+        io,
+        "b2",
+        cfg=CFG,
+        prior_fingerprint=inc1.fingerprint,
+    )
+    row = (
+        io.read_state(spark, "blocked", inc2.fingerprint)
+        .filter(F.col("url") == "http://u.com/1")
+        .select("warc_ts", "norm_text")
+        .collect()
+    )
+    assert len(row) == 1
+    assert row[0]["warc_ts"].day == 21  # 2026-01-01 + 20d, not the day-10 crawl
+    assert "alpha" in row[0]["norm_text"]  # content is still body_a
 
 
 def test_gc_compacted_chain_still_resumes(spark, pages_small, tmp_path):
