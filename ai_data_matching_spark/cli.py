@@ -1,10 +1,13 @@
 """spark-submit entry point for the record-linkage pipeline.
 
-Cluster form (the north-rule shipping contract):
+Cluster form (the north-rule shipping contract; spark-submit takes a
+driver SCRIPT, so ship a two-line shim that calls :func:`main` — see
+tests/test_spark_submit.py, which runs this exact form for real):
 
+    # driver.py:  import sys; from ai_data_matching_spark.cli import main
+    #             sys.exit(main(sys.argv[1:]))
     spark-submit --master yarn --deploy-mode cluster \
-        --py-files ai_data_matching_spark.zip \
-        -m ai_data_matching_spark.cli \
+        --py-files ai_data_matching_spark.zip driver.py \
         --input iceberg_catalog.db.pages --checkpoint-root s3://bkt/ckpt \
         --output-prefix iceberg_catalog.db.linkage
 

@@ -41,16 +41,25 @@ def build_session(
     on a real cluster pass ``None`` and let spark-submit supply it.
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+        # Under spark-submit the master arrives as a JVM system property
+        # (SparkSubmit in client mode exports all conf before invoking the
+        # driver); hardcoding local[...] here would silently override the
+        # submitted --master. Only fall back to local mode when no master
+        # was submitted (plain `python -m` / pytest runs).
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         cpus_s = os.environ.get("SPARK_GRAFT_CPUS", "")
         shuffle_partitions = int(cpus_s) if cpus_s.isdigit() else 32
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -79,6 +88,15 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     # ship the package so Python workers can unpickle our UDFs no matter
-    # where the driver script lives (same mechanism as --py-files)
-    spark.sparkContext.addPyFile(package_zip())
+    # where the driver script lives (same mechanism as --py-files) —
+    # unless a zip of the same name is already registered (a real
+    # `spark-submit --py-files ai_data_matching_spark.zip` run), where a
+    # second add with different bytes would raise SparkException
+    zip_name = "ai_data_matching_spark.zip"
+    already = any(
+        os.path.basename(f).split("?")[0] == zip_name
+        for f in spark.sparkContext.listFiles
+    )
+    if not already:
+        spark.sparkContext.addPyFile(package_zip())
     return spark
