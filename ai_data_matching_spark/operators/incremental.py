@@ -51,6 +51,7 @@ committed state.
 
 from __future__ import annotations
 
+import os
 from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -648,6 +649,26 @@ def run_incremental(
         fuzzy_inc = fuzzy_match_edges(
             scored, threshold=cfg.fuzzy_threshold, best_match_only=cfg.best_match_only
         )
+        if os.environ.get("SPARK_GRAFT_PROFILE_FOLD") == "1":
+            # diagnostic only (scripts/profile_incremental.py): forces
+            # extra actions to attribute the edge-stage seconds — never
+            # on in a measured bench run
+            import sys as _sys
+            import time as _time
+
+            for _lbl, _frame in (
+                ("blocked_view_scan", blocked),
+                ("exact_touched", exact_inc),
+                ("candidate_pairs", pairs),
+                ("scored_pairs", scored),
+            ):
+                _t0 = _time.perf_counter()
+                _n = _frame.count()
+                print(
+                    f"    [fold-profile] {_lbl}: {_n} rows "
+                    f"{_time.perf_counter() - _t0:.2f}s",
+                    file=_sys.stderr,
+                )
         return union_edges(exact_inc, fuzzy_inc)
 
     # the fold COMMITS only the edge delta — prior edges are never

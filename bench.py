@@ -56,7 +56,7 @@ def _probe_gate(tag: str = "") -> dict:
     except ImportError:
         return {}
     eff_thresh = float(os.environ.get("BENCH_PROBE_EFF", "0.6"))
-    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "2"))
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "3"))
     attempts = []
     for i in range(retries + 1):
         r1, eff4 = probe(4)

@@ -7,6 +7,16 @@ go" is measured instead of guessed. Diagnostic only — never part of the
 recorded bench artifact.
 
 Usage: python scripts/profile_incremental.py [n_pages] [cpus]
+
+Set SPARK_GRAFT_PROFILE_FOLD=1 to additionally force timed counts on the
+edge stage's sub-frames (blocked view scan / touched-exact / candidate
+pairs / scored pairs) — attribution INSIDE commit[edges_delta]. The
+forced actions inflate the fold total, so never combine that flag with a
+recorded measurement. Finding at 100k/16 (2026-08-19): the O(history)
+blocked-view scan is ~0.35 s; candidate-generation joins ~2.2 s and the
+touched-exact groupBy ~1.4 s dominate; the vectorized pair-scoring UDF
+on ~17k pairs is ~0.3-0.5 s — the Python boundary is NOT the fold's
+bottleneck, the candidate topology joins are.
 """
 
 import os
