@@ -6,7 +6,14 @@ wall-clock timer and prints a breakdown, so "where do the fold's seconds
 go" is measured instead of guessed. Diagnostic only — never part of the
 recorded bench artifact.
 
-Usage: python scripts/profile_incremental.py [n_pages] [cpus]
+Usage: python scripts/profile_incremental.py [n_pages] [cpus] [split_denom]
+
+``split_denom`` (default 10) sets the corpus:batch ratio — 1/denom of
+the pages form the fold's batch, the rest the committed base. The bench
+measures the 10%-batch floor; larger denominators evidence the delta
+design's structural claim that speedup vs recompute GROWS with the
+corpus:batch ratio (fold cost is O(batch)+floor, recompute is
+O(corpus)).
 
 Set SPARK_GRAFT_PROFILE_FOLD=1 to additionally force timed counts on the
 edge stage's sub-frames (blocked view scan / touched-exact / candidate
@@ -28,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+SPLIT_DENOM = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 PHASES: list[tuple[str, float]] = []
 
@@ -72,7 +80,7 @@ def main() -> None:
     io.write_metric = write_metric
 
     all_pages = generate_pages(spark, N_PAGES, seed=42).drop("entity_id")
-    is_batch = F.pmod(F.xxhash64("url"), F.lit(10)) == 0
+    is_batch = F.pmod(F.xxhash64("url"), F.lit(SPLIT_DENOM)) == 0
     base = all_pages.filter(~is_batch).persist()
     n_base = base.count()
     # warm python workers

@@ -1,0 +1,120 @@
+"""Quiet-window capture supervisor — one probe loop, several tasks.
+
+The shared host's memory bandwidth swings 2-3× on multi-minute windows
+(BENCH/BASELINE.md); several kinds of evidence are only worth recording
+in quiet ones. Running independent retry loops for each would make them
+fire into the SAME quiet window and contend with each other, so this
+supervisor owns the probe and rotates a priority list:
+
+  1. ratio_pair — paired fold profiles at 9:1 and 19:1 corpus:batch
+     (adjacent windows, same session conditions): evidences that the
+     incremental fold's speedup vs recompute grows with the ratio.
+  2. bench — a full bench.py artifact captured in a quiet window
+     (its per-section gates re-probe, so sections stay labeled).
+  3. scaling — one more N→4N scaling attempt (needs the long, very
+     quiet window: higher thresholds).
+
+Each task runs at most ``max_runs`` times; the loop exits when all are
+exhausted. Every probe and every launch is logged as one JSON line.
+
+Usage: python scripts/quiet_window_supervisor.py [log_suffix]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from scaling_autoretry import probe  # noqa: E402
+
+
+def sh(cmd: str) -> int:
+    return subprocess.run(
+        ["bash", "-c", cmd], cwd=REPO, timeout=7200, check=False
+    ).returncode
+
+
+TASKS = [
+    {
+        "name": "ratio_pair",
+        "min_eff": 0.6,
+        "min_rate": 15.0,
+        "max_runs": 2,
+        "cmd": (
+            "{py} scripts/profile_incremental.py 100000 16 10"
+            " >> BENCH/ratio_profile.log 2>&1 && "
+            "{py} scripts/profile_incremental.py 200000 16 20"
+            " >> BENCH/ratio_profile.log 2>&1"
+        ),
+    },
+    {
+        "name": "bench",
+        "min_eff": 0.6,
+        "min_rate": 15.0,
+        "max_runs": 1,
+        "cmd": "{py} bench.py > BENCH/bench_local_r04f.json 2>/dev/null",
+    },
+    {
+        "name": "scaling",
+        "min_eff": 0.85,
+        "min_rate": 20.0,
+        "max_runs": 2,
+        "cmd": "SCALING_REPS=2 {py} scripts/scaling_bench.py 500000 1 4",
+    },
+]
+
+
+def main() -> None:
+    runs = {t["name"]: 0 for t in TASKS}
+    while any(runs[t["name"]] < t["max_runs"] for t in TASKS):
+        r1, eff4 = probe()
+        pick = next(
+            (
+                t
+                for t in TASKS
+                if runs[t["name"]] < t["max_runs"]
+                and eff4 >= t["min_eff"]
+                and r1 >= t["min_rate"]
+            ),
+            None,
+        )
+        print(
+            json.dumps(
+                {
+                    "t": time.strftime("%H:%M:%S"),
+                    "probe_1p": round(r1, 1),
+                    "probe_eff4": round(eff4, 3),
+                    "task": pick["name"] if pick else None,
+                }
+            ),
+            flush=True,
+        )
+        if pick is None:
+            time.sleep(480)
+            continue
+        runs[pick["name"]] += 1
+        t0 = time.time()
+        rc = sh(pick["cmd"].format(py=sys.executable))
+        print(
+            json.dumps(
+                {
+                    "t": time.strftime("%H:%M:%S"),
+                    "done": pick["name"],
+                    "rc": rc,
+                    "wall_s": round(time.time() - t0, 1),
+                }
+            ),
+            flush=True,
+        )
+        time.sleep(120)
+    print(json.dumps({"t": time.strftime("%H:%M:%S"), "exhausted": runs}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
