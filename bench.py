@@ -46,8 +46,11 @@ def _probe_gate(tag: str = "") -> dict:
     fold were both captured in a window the start-of-run probe never
     saw). ``tag`` namespaces the context keys so the artifact shows
     which window each section actually ran in; the bare keys stay the
-    overall (first) probe for artifact compatibility. Worst-case delay
-    per section = BENCH_PROBE_RETRIES × BENCH_PROBE_WAIT."""
+    overall (first) probe for artifact compatibility. Per-section delay
+    is bounded by BENCH_PROBE_RETRIES × BENCH_PROBE_WAIT, and TOTAL
+    waiting across all sections by BENCH_PROBE_BUDGET seconds (default
+    900) — a fully-degraded host costs bounded extra wall time, never an
+    unbounded search."""
     if os.environ.get("BENCH_PROBE", "1") == "0":
         return {}
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
@@ -57,14 +60,19 @@ def _probe_gate(tag: str = "") -> dict:
         return {}
     eff_thresh = float(os.environ.get("BENCH_PROBE_EFF", "0.6"))
     retries = int(os.environ.get("BENCH_PROBE_RETRIES", "3"))
+    budget = float(os.environ.get("BENCH_PROBE_BUDGET", "900"))
     attempts = []
     for i in range(retries + 1):
         r1, eff4 = probe(4)
         attempts.append({"probe_1p": round(r1, 1), "probe_eff4": round(eff4, 3)})
         if eff4 >= eff_thresh:
             break
-        if i < retries:
-            time.sleep(int(os.environ.get("BENCH_PROBE_WAIT", "120")))
+        wait = int(os.environ.get("BENCH_PROBE_WAIT", "120"))
+        if i < retries and _probe_gate._waited + wait <= budget:
+            _probe_gate._waited += wait
+            time.sleep(wait)
+        elif i < retries:
+            break  # global wait budget exhausted — run now, labeled degraded
     last = attempts[-1]
     p = f"host_probe_{tag}_" if tag else "host_probe_"
     d = f"host_window_{tag}_degraded" if tag else "host_window_degraded"
@@ -74,6 +82,9 @@ def _probe_gate(tag: str = "") -> dict:
         d: last["probe_eff4"] < eff_thresh,
         f"{p}attempts": len(attempts),
     }
+
+
+_probe_gate._waited = 0.0
 
 
 def _materialize(df) -> int:
