@@ -44,6 +44,27 @@ from ..functions.hashing import (
 DEFAULT_MAX_BLOCK_SIZE = 64
 
 
+def latest_crawl_wins(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """One row per url — the latest crawl, picked deterministically.
+
+    ``max(struct(rest))`` over every non-url column in frame order
+    (``warc_ts`` leads in every blocked frame): latest crawl wins, ties
+    fall through lang / norm_domain / norm_text / sketches. This is the
+    SAME rule as the incremental fold's within-batch dedup and the same
+    leading key as its newer-vs-stale re-crawl classification
+    (operators/incremental.py), so feeding a corpus all at once or in
+    batches resolves the identical survivor per url. ``dropDuplicates``
+    would be a partition-order-dependent pick. The groupBy is a map-side
+    combinable aggregation on the slim blocked projection — one struct
+    per (url, partition) reaches the shuffle."""
+    rest = [c for c in df.columns if c != url_col]
+    return (
+        df.groupBy(url_col)
+        .agg(F.max(F.struct(*rest)).alias("_m"))
+        .select(url_col, *[F.col(f"_m.{c}").alias(c) for c in rest])
+    )
+
+
 def with_blocking_keys(
     pages: DataFrame,
     text_col: str = "norm_text",

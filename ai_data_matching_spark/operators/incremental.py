@@ -59,7 +59,12 @@ from pyspark.sql import functions as F
 
 from ..pipeline import PipelineConfig, PipelineResult
 from ..sources.tables import TableIO, config_fingerprint
-from .blocking import hot_keys, route_unmatched, with_extract_sketch_keys
+from .blocking import (
+    hot_keys,
+    latest_crawl_wins,
+    route_unmatched,
+    with_extract_sketch_keys,
+)
 from .clustering import cluster_assignments, connected_components
 from .consolidate import consolidate_clusters, match_statistics
 from .scoring import fuzzy_match_edges, score_pairs, union_edges
@@ -426,14 +431,11 @@ def run_incremental(
             # norm_text stays FULL to match the prior blocked snapshot
             emit_extracted=False,
         ).select(*BLOCKED_COLS)
-        # within-batch dedup by url: max(struct(rest)) is a deterministic
-        # pick (latest warc_ts wins; every BLOCKED_COL type is orderable),
-        # unlike dropDuplicates' partition-order-dependent row choice
-        batch = (
-            batch.groupBy("url")
-            .agg(F.max(F.struct(*rest)).alias("_m"))
-            .select("url", *[F.col(f"_m.{c}").alias(c) for c in rest])
-        )
+        # within-batch dedup by url: the SHARED latest-crawl-wins rule
+        # (blocking.latest_crawl_wins — also applied by run_pipeline's
+        # blocked stage, so batch and corpus-at-once ingestion pick the
+        # same survivor per url)
+        batch = latest_crawl_wins(batch)
         # The classifying join needs only a SLIM comparison key from the
         # prior state, not its payload: at scale `prior_blocked` is the
         # whole resolved history, and shipping full norm_text +

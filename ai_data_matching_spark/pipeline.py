@@ -38,6 +38,13 @@ class PipelineConfig:
     n_simhash_bands: int = 4
     minhash_k: int = 16
     best_match_only: bool = True
+    # Common-Crawl-style inputs carry multiple crawls per url; the
+    # engine's unit of resolution is the URL, latest crawl wins (the
+    # incremental fold's state is url-keyed by the same rule, so batch
+    # and fold agree on any corpus). Disable ONLY for inputs whose
+    # catalog already guarantees url-uniqueness — it skips one groupBy
+    # shuffle of the slim blocked frame.
+    dedup_recrawls: bool = True
 
 
 @dataclass
@@ -111,6 +118,18 @@ def run_pipeline(
             df, n_simhash_bands=cfg.n_simhash_bands, minhash_k=cfg.minhash_k
         )
 
+    def _dedup(df: DataFrame) -> DataFrame:
+        """Resolve re-crawls: the blocked frame (and with io, its
+        committed snapshot — the state an incremental fold chains on) is
+        url-unique by contract, latest crawl wins. Same deterministic
+        rule as the fold's within-batch dedup (blocking.latest_crawl_wins),
+        so corpus-at-once and batched ingestion pick identical survivors."""
+        if not cfg.dedup_recrawls:
+            return df
+        from .operators.blocking import latest_crawl_wins
+
+        return latest_crawl_wins(df)
+
     if io is None:
         # fully-fused stage 1+2 — one Arrow round trip for
         # extract+normalize+sketch (see with_extract_sketch_keys); the
@@ -128,12 +147,14 @@ def run_pipeline(
 
         blocked = stage(
             "blocked",
-            lambda: with_extract_sketch_keys(
-                pages,
-                n_simhash_bands=cfg.n_simhash_bands,
-                minhash_k=cfg.minhash_k,
-                emit_extracted=False,
-                text_prefix=MAX_SCORE_CHARS,
+            lambda: _dedup(
+                with_extract_sketch_keys(
+                    pages,
+                    n_simhash_bands=cfg.n_simhash_bands,
+                    minhash_k=cfg.minhash_k,
+                    emit_extracted=False,
+                    text_prefix=MAX_SCORE_CHARS,
+                )
             ),
         )
     else:
@@ -148,8 +169,10 @@ def run_pipeline(
         # just to answer "did this url's content change?"
         blocked = stage(
             "blocked",
-            lambda: _sketch(extracted.drop("extracted_text")).withColumn(
-                "norm_text_hash", F.xxhash64("norm_text")
+            lambda: _dedup(
+                _sketch(extracted.drop("extracted_text")).withColumn(
+                    "norm_text_hash", F.xxhash64("norm_text")
+                )
             ),
         )
 
