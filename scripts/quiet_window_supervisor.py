@@ -40,6 +40,21 @@ def sh(cmd: str) -> int:
     ).returncode
 
 
+def foreground_busy() -> bool:
+    """True when an interactive heavy job (tests, oracle check, bench,
+    profile) is running OUTSIDE this supervisor — the bandwidth probe can
+    read quiet while the CPUs are loaded with Spark work, and a capture
+    fired into that would both pollute and be polluted."""
+    out = subprocess.run(
+        ["pgrep", "-f", "pytest|bench\\.py|check_oracle|profile_incremental"],
+        capture_output=True,
+        text=True,
+        check=False,
+    ).stdout.split()
+    me = str(os.getpid())
+    return any(pid != me for pid in out)
+
+
 TASKS = [
     {
         "name": "ratio_pair",
@@ -73,6 +88,13 @@ TASKS = [
 def main() -> None:
     runs = {t["name"]: 0 for t in TASKS}
     while any(runs[t["name"]] < t["max_runs"] for t in TASKS):
+        if foreground_busy():
+            print(
+                json.dumps({"t": time.strftime("%H:%M:%S"), "busy": True}),
+                flush=True,
+            )
+            time.sleep(300)
+            continue
         r1, eff4 = probe()
         pick = next(
             (
