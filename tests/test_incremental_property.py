@@ -72,6 +72,20 @@ _event = st.tuples(
 def test_fold_matches_recompute_under_random_recrawl_mix(
     spark, base_events, batch_events
 ):
+    # canonicalize body per (url, day): same-timestamp re-crawls of a url
+    # always carry identical content. The engine's two latest-wins rules
+    # (within-corpus max-struct on full text vs cross-state classify on
+    # text-hash) are each deterministic but may break a SAME-timestamp
+    # different-content tie differently — a documented reconciled
+    # divergence (operators/incremental.py), excluded here so the
+    # property tests everything else: changes across days, replays,
+    # refreshes, out-of-order deliveries.
+    canon: dict[tuple[int, int], int] = {}
+    for e in base_events + batch_events:
+        canon.setdefault((e[0], e[1]), e[2])
+    base_events = [(u, d, canon[(u, d)]) for u, d, _ in base_events]
+    batch_events = [(u, d, canon[(u, d)]) for u, d, _ in batch_events]
+
     base = spark.createDataFrame([_row(*e) for e in base_events], SCHEMA)
     batch = spark.createDataFrame([_row(*e) for e in batch_events], SCHEMA)
 
@@ -79,7 +93,19 @@ def test_fold_matches_recompute_under_random_recrawl_mix(
     try:
         io = TableIO(root)
         run_pipeline(spark, base, io=io, cfg=CFG)
-        fold = run_incremental(spark, batch, io, "hb1", cfg=CFG)
+        # fold the batch as TWO chained epochs when it has ≥2 events —
+        # re-crawl classification must hold across fold boundaries too
+        # (a url can be new in epoch 1 and re-crawled in epoch 2)
+        half = len(batch_events) // 2
+        if half:
+            b1 = spark.createDataFrame([_row(*e) for e in batch_events[:half]], SCHEMA)
+            first = run_incremental(spark, b1, io, "hb0", cfg=CFG)
+            b2 = spark.createDataFrame([_row(*e) for e in batch_events[half:]], SCHEMA)
+            fold = run_incremental(
+                spark, b2, io, "hb1", cfg=CFG, prior_fingerprint=first.fingerprint
+            )
+        else:
+            fold = run_incremental(spark, batch, io, "hb1", cfg=CFG)
         recompute = run_pipeline(spark, base.unionByName(batch), cfg=CFG)
 
         fold_rows = {
@@ -99,12 +125,12 @@ def test_fold_matches_recompute_under_random_recrawl_mix(
             anchor = next(iter(part))
             assert part <= containing[anchor], (part, containing[anchor])
 
-        # no content change on any base url ⇒ exact clustering equality
-        base_body = {e[0]: e[2] for e in base_events}
-        changed = any(
-            e[0] in base_body and BODIES[e[2]] != BODIES[base_body[e[0]]]
-            for e in batch_events
-        )
+        # no url ever changes content across any epoch ⇒ the monotone
+        # divergence can't trigger ⇒ exact clustering equality
+        bodies_by_url: dict[int, set] = {}
+        for u, _d, b in base_events + batch_events:
+            bodies_by_url.setdefault(u, set()).add(BODIES[b])
+        changed = any(len(s) > 1 for s in bodies_by_url.values())
         if not changed:
             assert fold_parts == rec_parts
     finally:
