@@ -296,30 +296,39 @@ def duplicate_pairs_ngram_jaccard(
         *block_cols, "id", make_shingles_udf(shingle_k)(F.col("_txt")).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
     # persisted: both sides of the self-join consume this frame — without
-    # it Spark recomputes the shingle UDF per side (measured 2× cost)
+    # it Spark recomputes the shingle UDF per side (measured 2× cost).
+    # `_h = xxhash64(block..., shingle)` is the JOIN key: one fixed-width
+    # int64 instead of (lang, source, 20-30-byte shingle string) — the
+    # self-join below shuffles only (_h, id, _n), never the string. A
+    # cross-key collision would need two live (block, shingle) combos in
+    # the same 64-bit slot (P ≈ rows²/2⁶⁵ — at 10⁹ exploded shingles,
+    # ~3·10⁻²), and one collision shifts one pair's intersection by 1.
+    # Strings stay in the persisted frame only for the overflow report.
     ex = persist_tracked(
         base.select(*block_cols, "id", "_n", F.explode("_sh").alias("_shingle"))
+        .withColumn("_h", F.xxhash64(*block_cols, F.col("_shingle")))
     )
-    # hot-shingle scan: one map-side-combined agg of (block, shingle) →
-    # count; only keys above the cap survive, so the broadcast stays tiny
+    # hot-shingle scan: one map-side-combined agg per join key; only keys
+    # above the cap survive, so the broadcast stays tiny. first(block/
+    # shingle) is exact — _h determines them (modulo the collision note).
     overflow = (
-        ex.groupBy(*block_cols, "_shingle")
-        .agg(F.count("*").alias("posting_size"))
+        ex.groupBy("_h")
+        .agg(
+            F.count("*").alias("posting_size"),
+            *[F.first(c).alias(c) for c in block_cols],
+            F.first("_shingle").alias("_shingle"),
+        )
         .filter(F.col("posting_size") > max_posting_size)
     )
-    cold = ex.join(
-        F.broadcast(overflow.select(*block_cols, "_shingle")),
-        [*block_cols, "_shingle"],
-        "left_anti",
-    )
+    cold = ex.join(F.broadcast(overflow.select("_h")), "_h", "left_anti")
     a = cold.select(
-        *block_cols, "_shingle", F.col("id").alias("id_a"), F.col("_n").alias("_n_a")
+        "_h", F.col("id").alias("id_a"), F.col("_n").alias("_n_a")
     )
     b = cold.select(
-        *block_cols, "_shingle", F.col("id").alias("id_b"), F.col("_n").alias("_n_b")
+        "_h", F.col("id").alias("id_b"), F.col("_n").alias("_n_b")
     )
     inter = (
-        a.join(b, [*block_cols, "_shingle"])
+        a.join(b, "_h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "_n_a", "_n_b")
         .agg(F.count("*").alias("_inter"))
@@ -333,7 +342,9 @@ def duplicate_pairs_ngram_jaccard(
         .select("id_a", "id_b", F.round("_jac", 6).alias("jaccard"))
     )
     if return_overflow:
-        return pairs, overflow.withColumnRenamed("_shingle", "shingle")
+        return pairs, overflow.select(
+            *block_cols, F.col("_shingle").alias("shingle"), "posting_size"
+        )
     return pairs
 
 
