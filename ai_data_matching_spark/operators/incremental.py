@@ -238,7 +238,16 @@ def incremental_candidate_pairs(
     # Block sizes are still counted over the full UNION membership of the
     # surviving keys, so the cap mirrors the full recompute's decisions.
     batch_keys = sel.filter(F.col("_new")).select("block_key").dropDuplicates()
-    touched = sel.join(F.broadcast(batch_keys), "block_key", "left_semi")
+    # persisted: three consumers re-derive this lineage otherwise — the
+    # hot-keys agg and BOTH sides of the a×b self-join each re-scan the
+    # blocked view and re-run the explode + semi-join (forced-count
+    # attribution at 100k/16: candidate_pairs derivation 2.2 s without
+    # the persist, 0.9 s with; at 10^12 docs each re-derivation is a
+    # full column-pruned history scan). Slim columns only (uid,
+    # simhash, flag, key), MEMORY_AND_DISK.
+    touched = persist_tracked(
+        sel.join(F.broadcast(batch_keys), "block_key", "left_semi")
+    )
     # persisted for the same reason as blocking.candidate_pairs: consumed
     # by the broadcast exclusion AND the caller's overflow-metric action
     hot = persist_tracked(hot_keys(touched.select("block_key", "uid"), max_block_size))
