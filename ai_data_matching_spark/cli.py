@@ -80,6 +80,12 @@ def _make_io(spark, args: argparse.Namespace):
     from .sources.tables import TableIO
 
     if not args.checkpoint_root:
+        if args.iceberg_catalog:
+            raise SystemExit(
+                "--iceberg-catalog requires --checkpoint-root (the manifest "
+                "lives there); without it NO checkpointing would happen and "
+                "the flag would be silently ignored"
+            )
         return None
     backend = None
     if args.iceberg_catalog:

@@ -56,11 +56,24 @@ def latest_crawl_wins(df: DataFrame, url_col: str = "url") -> DataFrame:
     batches resolves the identical survivor per url. ``dropDuplicates``
     would be a partition-order-dependent pick. The groupBy is a map-side
     combinable aggregation on the slim blocked projection — one struct
-    per (url, partition) reaches the shuffle."""
+    per (url, partition) reaches the shuffle.
+
+    The key is ordered BY NAME, not by frame column order: ``warc_ts``
+    leads, then the blocked-frame tie columns in their contract order
+    (lang / norm_domain / norm_text / sketches — the same leading fields
+    as the fold's newer-vs-stale classify key), then any other columns
+    sorted. A caller passing columns in any order gets the same survivor
+    — frame-order keying would silently turn "latest crawl wins" into
+    "max first-column wins"."""
+    canon = [
+        "warc_ts", "lang", "norm_domain", "norm_text",
+        "simhash", "minhash_sig", "block_keys",
+    ]
     rest = [c for c in df.columns if c != url_col]
+    key = [c for c in canon if c in rest] + sorted(c for c in rest if c not in canon)
     return (
         df.groupBy(url_col)
-        .agg(F.max(F.struct(*rest)).alias("_m"))
+        .agg(F.max(F.struct(*key)).alias("_m"))
         .select(url_col, *[F.col(f"_m.{c}").alias(c) for c in rest])
     )
 

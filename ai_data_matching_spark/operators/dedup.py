@@ -303,16 +303,32 @@ def duplicate_pairs_ngram_jaccard(
     # cross-key collision would need two live (block, shingle) combos in
     # the same 64-bit slot (P ≈ rows²/2⁶⁵ — at 10⁹ exploded shingles,
     # ~3·10⁻²), and one collision shifts one pair's intersection by 1.
-    # Strings stay in the persisted frame only for the overflow report.
+    # A row with a NULL block column keeps a NULL key: Spark's hash
+    # functions SKIP null arguments (hash(NULL,'x') == hash('x')), which
+    # would both collide distinct blocks and let null-block rows join —
+    # the string equi-join this replaces dropped them. Strings stay in
+    # the persisted frame only for the overflow report.
+    null_block = None
+    for c in block_cols:
+        cond = F.col(c).isNull()
+        null_block = cond if null_block is None else (null_block | cond)
     ex = persist_tracked(
         base.select(*block_cols, "id", "_n", F.explode("_sh").alias("_shingle"))
-        .withColumn("_h", F.xxhash64(*block_cols, F.col("_shingle")))
+        .withColumn(
+            "_h",
+            F.when(null_block, F.lit(None)).otherwise(
+                F.xxhash64(*block_cols, F.col("_shingle"))
+            ),
+        )
     )
     # hot-shingle scan: one map-side-combined agg per join key; only keys
     # above the cap survive, so the broadcast stays tiny. first(block/
     # shingle) is exact — _h determines them (modulo the collision note).
+    # Null-key rows (null block column) can never join, so they are
+    # neither counted nor reported as hot.
     overflow = (
-        ex.groupBy("_h")
+        ex.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
         .agg(
             F.count("*").alias("posting_size"),
             *[F.first(c).alias(c) for c in block_cols],

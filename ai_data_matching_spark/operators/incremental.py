@@ -57,6 +57,7 @@ from dataclasses import asdict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked
 from ..pipeline import PipelineConfig, PipelineResult
 from ..sources.tables import TableIO, config_fingerprint
 from .blocking import (
@@ -89,8 +90,6 @@ def exact_match_edges_touched(blocked_union: DataFrame, new_flag: str = "_is_new
     groupBy to then discard every untouched group — O(history) shuffle
     per batch for output that is O(touched).
     """
-    from ..cache import persist_tracked
-
     batch_keys = (
         blocked_union.filter(F.col(new_flag))
         .select(F.col("norm_domain").alias("_gd"), F.col("simhash").alias("_gs"))
@@ -174,8 +173,6 @@ def incremental_label_delta(
         .filter(F.col("src") != F.col("dst"))
     )
     c_labels, iters = connected_components(contracted)
-    from ..cache import persist_tracked
-
     # consumed twice (changed-row join + fresh-node anti-join) and tiny —
     # O(touched components + new urls)
     c_labels = persist_tracked(c_labels)
@@ -199,8 +196,6 @@ def incremental_components(
     """Full label view for (prior ∪ new) edges: the incremental delta
     applied over the prior labels by url replacement — equals a full CC
     over the merged edge set (see incremental_label_delta)."""
-    from ..cache import persist_tracked
-
     delta, iters = incremental_label_delta(prior_labels, new_edges)
     delta = persist_tracked(delta)  # consumed by the anti-join AND the union
     view = prior_labels.join(delta.select("url"), "url", "left_anti").unionByName(delta)
@@ -228,8 +223,6 @@ def incremental_candidate_pairs(
         F.col(new_flag).alias("_new"),
         F.explode("block_keys").alias("block_key"),
     )
-    from ..cache import persist_tracked
-
     # Cap decisions only matter for keys the BATCH touches — an untouched
     # key generates no new pairs — so the frequency scan is cut to the
     # batch's key set with a broadcast semi-join BEFORE the groupBy:
@@ -534,9 +527,21 @@ def run_incremental(
         gc-compacted head may have expired)."""
         # refresh rows replace their prior row too (newer warc_ts, same
         # content) — they must join the supersede set or the view holds
-        # two rows per refreshed url
-        changed_urls = kept.filter(
-            F.col("_batch_status").isin("changed", "refresh")
+        # two rows per refreshed url. Pre-status resumed chains (delta
+        # committed by a code revision without _batch_status) carry no
+        # status column — there every kept row was new/changed, so the
+        # whole url set supersedes (same guard as the ingest metric and
+        # _edges_delta below).
+        has_status = "_batch_status" in kept.columns
+        kept_status = (
+            kept
+            if has_status
+            else kept.withColumn("_batch_status", F.lit(None).cast("string"))
+        )
+        changed_urls = (
+            kept.filter(F.col("_batch_status").isin("changed", "refresh"))
+            if has_status
+            else kept
         ).select("url")
         # norm_text_hash rides along (compat-filled on pre-hash chains) so
         # a compaction batch bakes it into the full snapshot; the edge
@@ -555,8 +560,11 @@ def run_incremental(
                 # prior edge stays valid, so they must NOT re-enter the
                 # edge stages as new rows (that would rescore their whole
                 # block for a timestamp bump)
-                _with_content_hash(kept).withColumn(
-                    "_is_new", F.col("_batch_status") != F.lit("refresh")
+                _with_content_hash(kept_status).withColumn(
+                    "_is_new",
+                    F.coalesce(
+                        F.col("_batch_status") != F.lit("refresh"), F.lit(True)
+                    ),
                 )
             )
         )
@@ -609,8 +617,6 @@ def run_incremental(
         )
 
     def _edges_delta() -> DataFrame:
-        from ..cache import persist_tracked
-
         # On a compaction fold the full blocked snapshot was committed
         # just above — read IT back instead of rebuilding _blocked_view(),
         # whose O(history) prior-scan + anti-join + union would otherwise
@@ -691,8 +697,6 @@ def run_incremental(
     # consumed ≥2× below (clusters + stats) and by the caller — persist
     # the slim reconstructed view so the chain union + dedup shuffle runs
     # once (columns: 2 urls + score + type; MEMORY_AND_DISK spills)
-    from ..cache import persist_tracked
-
     edges = maybe_compact("edges", io.read_state(spark, "edges", fp))
     if not compact:
         edges = persist_tracked(edges)

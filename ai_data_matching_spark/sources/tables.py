@@ -49,6 +49,19 @@ def config_fingerprint(payload: dict) -> str:
     return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 
+# Derived columns recomputable from their committed source when an
+# old-revision delta in a chain lacks them (read_state merge-on-read
+# schema drift). Each entry must mirror the committing code's definition
+# exactly — operators/incremental.py commits norm_text_hash =
+# xxhash64(norm_text) with every blocked delta, so recomputing it here
+# classifies re-crawls identically to a chain committed by current code
+# (a typed-null fill would instead make every prior row read as
+# "content changed").
+_SCHEMA_DRIFT_FILL = {
+    ("blocked", "norm_text_hash"): lambda: F.xxhash64("norm_text"),
+}
+
+
 def merge_edge_sets(edges: DataFrame) -> DataFrame:
     """Dedup a union of edge sets under the monotone merge contract: the
     same (src, dst) keeps its best score, and 'exact' outranks 'fuzzy' on
@@ -417,6 +430,18 @@ class TableIO:
                 "ancestry?) — compact before expiring, or re-run the base "
                 "pipeline"
             )
+        # Schema drift across code revisions: a delta committed by an
+        # older revision may lack columns the prior (newer) state carries.
+        # Fill them — derived columns are recomputed from their source
+        # (exact: same function, same input), anything else becomes a
+        # typed null. Delta-only bookkeeping columns (_batch_status) are
+        # dropped by the select, as before.
+        for fld in prior.schema.fields:
+            if fld.name not in df.columns:
+                fill = _SCHEMA_DRIFT_FILL.get((stage, fld.name))
+                df = df.withColumn(
+                    fld.name, fill() if fill else F.lit(None).cast(fld.dataType)
+                )
         delta = df.select(*prior.columns)
         if stage == "edges":
             return prior.unionByName(delta)

@@ -241,10 +241,11 @@ def _incremental_section(
             # base corpus, scaled to base∪batch size — apples-to-apples
             # (both sides pay snapshot commits), measured not estimated
             ratio = t_base * ((n_base + n_batch) / n_base) / dt
+            # keep ONE rep's (dt, ratio) pair — mixing the best dt of one
+            # rep with the best ratio of another records a combination no
+            # run produced; the fold time is the headline, so its rep wins
             if best_dt is None or dt < best_dt:
-                best_dt = dt
-            if best_ratio is None or ratio > best_ratio:
-                best_ratio = ratio
+                best_dt, best_ratio = dt, ratio
         finally:
             shutil.rmtree(root, ignore_errors=True)
         release_persisted()

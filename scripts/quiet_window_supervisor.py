@@ -35,9 +35,14 @@ from scaling_autoretry import probe  # noqa: E402
 
 
 def sh(cmd: str) -> int:
-    return subprocess.run(
-        ["bash", "-c", cmd], cwd=REPO, timeout=7200, check=False
-    ).returncode
+    # a task overrunning the cap must not kill the supervisor loop —
+    # log a sentinel rc and rotate to the next capture
+    try:
+        return subprocess.run(
+            ["bash", "-c", cmd], cwd=REPO, timeout=7200, check=False
+        ).returncode
+    except subprocess.TimeoutExpired:
+        return -9
 
 
 def foreground_busy() -> bool:

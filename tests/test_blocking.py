@@ -125,3 +125,27 @@ def test_fused_extract_sketch_parity(spark):
     a = sorted(map(tuple, staged.collect()))
     b = sorted(map(tuple, fused.collect()))
     assert a == b
+
+
+def test_latest_crawl_wins_is_column_order_independent(spark):
+    """The survivor must be keyed by NAME (warc_ts leading), not by frame
+    column order — a frame passed as (url, lang, warc_ts) must not pick
+    the max-lang row."""
+    from ai_data_matching_spark.operators.blocking import latest_crawl_wins
+
+    rows = [
+        ("u1", "zz", "2020-01-01 00:00:00"),   # older crawl, max lang
+        ("u1", "aa", "2021-01-01 00:00:00"),   # latest crawl, min lang
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string, warc_ts string").select(
+        "url", "lang", F.to_timestamp("warc_ts").alias("warc_ts")
+    )
+    out = {r["url"]: r["lang"] for r in latest_crawl_wins(df).collect()}
+    assert out == {"u1": "aa"}
+
+    # and the canonical column order picks the same survivor
+    out2 = {
+        r["url"]: r["lang"]
+        for r in latest_crawl_wins(df.select("url", "warc_ts", "lang")).collect()
+    }
+    assert out2 == {"u1": "aa"}

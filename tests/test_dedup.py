@@ -135,3 +135,28 @@ def test_ngram_cap_keeps_true_near_dups(spark):
     pairs = duplicate_pairs_ngram_jaccard(docs, threshold=0.2, max_posting_size=10)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (100, 101) in got
+
+
+def test_ngram_jaccard_null_block_rows_never_pair(spark):
+    """Rows with a NULL block column must behave like the string
+    equi-join they hash-replace: contribute no pairs (Spark hash
+    functions skip null args, so an unguarded xxhash64 key would both
+    collide distinct blocks and let null-block rows join)."""
+    rows = [
+        # identical text, both lang NULL — equi-join semantics drop them
+        (1, None, "web", "alpha beta gamma delta epsilon zeta"),
+        (2, None, "web", "alpha beta gamma delta epsilon zeta"),
+        # the null-skip collision shape: hash(NULL,'web',sh)==hash('web',NULL,sh)
+        (3, "web", None, "alpha beta gamma delta epsilon zeta"),
+        # a real block — still pairs
+        (4, "en", "web", "alpha beta gamma delta epsilon zeta"),
+        (5, "en", "web", "alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in duplicate_pairs_ngram_jaccard(docs, threshold=0.5).collect()
+    }
+    assert got == {(4, 5)}
