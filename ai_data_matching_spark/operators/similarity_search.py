@@ -216,11 +216,48 @@ def train_ivf_centroids(
     return cents
 
 
-def make_ivf_list_udf(centroids: np.ndarray, nprobe: int):
+def anchor_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse-quantizer anchors = the embeddings of the ``n_centroids``
+    LOWEST-id corpus rows, unit-normalized. No training: the anchor set
+    is a pure function of the data that any engine can reproduce with
+    ``ORDER BY id LIMIT n`` — which is the point: an IVF built on these
+    anchors has SQL-expressible semantics end-to-end, so a DuckDB oracle
+    can mirror the assignment exactly instead of merely checking recall
+    (see ``cosine_topk_ivf(quantizer="anchor_ids")``). Quantization
+    quality ≈ k-means init without Lloyd steps — acceptable for a
+    correctness pin; production uses the trained quantizer. One bounded
+    TakeOrdered collect (n_centroids × dim doubles)."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("_i"), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .orderBy("_i")
+        .limit(n_centroids)
+        .collect()
+    )
+    if len(rows) < n_centroids:
+        raise ValueError(f"corpus ({len(rows)}) smaller than n_centroids ({n_centroids})")
+    x = np.array([r["_v"] for r in rows], dtype=np.float64)
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def make_ivf_list_udf(centroids: np.ndarray, nprobe: int, stable_rounded: bool = False):
     """Arrow-batched list assignment: one ``X @ C.T`` matrix product per
     batch, then argpartition for the top-``nprobe`` lists per row. The
     centroid matrix is captured in the closure (broadcast once per
-    executor by task serialization — a few KB)."""
+    executor by task serialization — a few KB).
+
+    ``stable_rounded`` makes the choice cross-engine reproducible: scores
+    round to 6 decimals before ranking and ties break toward the LOWEST
+    list index (stable argsort) — the same decision an oracle's
+    ``ORDER BY round(cos, 6) DESC, anchor_idx`` makes. The default path
+    keeps the cheaper argpartition (tie order unspecified), fine when
+    only recall is measured."""
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
     np_ = min(nprobe, len(cents))
 
@@ -231,7 +268,9 @@ def make_ivf_list_udf(centroids: np.ndarray, nprobe: int):
         mat = np.array(vecs.tolist(), dtype=np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ cents.T
-        if np_ == len(cents):
+        if stable_rounded:
+            top = np.argsort(-np.round(sims, 6), axis=1, kind="stable")[:, :np_]
+        elif np_ == len(cents):
             top = np.tile(np.arange(len(cents)), (len(mat), 1))
         else:
             top = np.argpartition(-sims, np_ - 1, axis=1)[:, :np_]
@@ -249,6 +288,7 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     sample_n: int = 20_000,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer.
 
@@ -256,12 +296,29 @@ def cosine_topk_ivf(
     each query probes its ``nprobe`` nearest lists. Candidates are the
     list equi-join; exact cosine on candidates only, then window top-k —
     same output contract as the brute-force baseline, so recall is
-    directly measurable (tests/test_similarity_search.py)."""
-    cents = train_ivf_centroids(
-        corpus, n_centroids, id_col=id_col, vec_col=vec_col, sample_n=sample_n
-    )
-    assign1 = make_ivf_list_udf(cents, 1)
-    probe = make_ivf_list_udf(cents, nprobe)
+    directly measurable (tests/test_similarity_search.py).
+
+    ``quantizer="kmeans"`` (production default) trains spherical k-means
+    on a bounded sample — best list balance, but the centroids are not
+    reproducible outside this engine, so an external oracle can only
+    check RECALL against brute force (which drops below 1.0 whenever a
+    true neighbor lands outside the probed lists — data- and
+    scale-dependent). ``quantizer="anchor_ids"`` uses the lowest-id
+    corpus rows as anchors with rounded, tie-stable assignment
+    (``anchor_centroids``): every decision is expressible in ANSI SQL, so
+    a cross-engine oracle can replay the EXACT semantics at any scale —
+    the correctness-pin mode."""
+    if quantizer == "anchor_ids":
+        cents = anchor_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    elif quantizer == "kmeans":
+        cents = train_ivf_centroids(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col, sample_n=sample_n
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    stable = quantizer == "anchor_ids"
+    assign1 = make_ivf_list_udf(cents, 1, stable_rounded=stable)
+    probe = make_ivf_list_udf(cents, nprobe, stable_rounded=stable)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

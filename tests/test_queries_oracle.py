@@ -15,12 +15,11 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
-# Queries whose self-check must run at the driver's sf (0.01) instead of
-# the fast 0.001: ann_ivf_topk's recall-1.0 contract holds at sf0.01 (the
-# external CORRECTNESS scale), while sf0.001's embeddings have
-# near-orthogonal top-3 neighbors that no non-exhaustive probe recovers
-# (recall there is gated in tests/test_similarity_search.py instead).
-SF_OVERRIDES = {"ann_ivf_topk": "/root/testdata/sf0.01"}
+# Queries whose self-check must run at a different sf than the fast
+# 0.001. Empty since ann_ivf_topk switched to the anchor_ids quantizer,
+# whose oracle replays the IVF semantics exactly at EVERY sf (it was
+# previously recall-gated, which only held at sf0.01).
+SF_OVERRIDES: dict[str, str] = {}
 
 
 def _connect(sf_dir: str):

@@ -64,9 +64,11 @@ def test_lsh_candidates_shrink(spark, emb):
 
 
 def test_ivf_contract_params_are_exact_at_driver_sf(spark):
-    """The contract query's params (8 centroids, nprobe 6) must reproduce
-    the exact brute-force top-k at sf0.01 — the scale the correctness
-    driver runs ann_ivf_topk's brute-force DuckDB oracle at. (sf0.001's
+    """The k-means quantizer at the contract params (8 centroids, nprobe
+    6) reproduces the exact brute-force top-k at sf0.01 — a measured
+    recall-1.0 point for the production path. (The ORACLED ann_ivf_topk
+    query uses quantizer='anchor_ids' instead, whose oracle replays the
+    semantics exactly at every sf — see the replay test below; sf0.001's
     embeddings have near-orthogonal top-3 neighbors that defeat ANY
     non-exhaustive probe — recall there is gated separately below.)"""
     from ai_data_matching_spark.operators.similarity_search import cosine_topk_ivf
@@ -109,6 +111,40 @@ def test_ivf_candidates_shrink_and_recall_degrades_gracefully(spark, emb):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in top.collect()}
     assert len(e & a) / len(e) >= 0.4  # measured 0.53 at this config
+
+
+def test_ivf_anchor_quantizer_matches_numpy_replay(spark, emb):
+    """quantizer='anchor_ids' has engine-independent semantics (anchors =
+    lowest-id rows; assignment/probe = argmax of round(cos, 6), ties to
+    the lowest anchor index). Replay them independently in numpy and
+    require EXACT (query, neighbor, rank) equality — the same property
+    the DuckDB oracle certifies cross-engine for ann_ivf_topk."""
+    from ai_data_matching_spark.operators.similarity_search import cosine_topk_ivf
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_ivf(
+            emb, queries, k=3, n_centroids=8, nprobe=6, quantizer="anchor_ids"
+        ).collect()
+    }
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    anchors = xn[:8]  # pdf is id-ordered: the 8 lowest vec_ids
+    sims = np.round(xn @ anchors.T, 6)
+    assign = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+    want = set()
+    for qi in np.flatnonzero(ids % 100 == 0):
+        probes = np.argsort(-sims[qi], kind="stable")[:6]
+        cand = np.flatnonzero(np.isin(assign, probes) & (ids != ids[qi]))
+        cos = np.round(xn[cand] @ xn[qi], 6)
+        ordered = sorted(zip(-cos, ids[cand]))[:3]
+        for rank, (_negc, nid) in enumerate(ordered, 1):
+            want.add((int(ids[qi]), int(nid), rank))
+    assert got == want and got
 
 
 def test_ivf_training_is_deterministic(spark, emb):
