@@ -78,7 +78,7 @@ TASKS = [
         "min_eff": 0.6,
         "min_rate": 15.0,
         "max_runs": 1,
-        "cmd": "{py} bench.py > BENCH/bench_local_r04f.json 2>/dev/null",
+        "cmd": "{py} bench.py > BENCH/bench_local_r04g.json 2>/dev/null",
     },
     {
         "name": "scaling",
