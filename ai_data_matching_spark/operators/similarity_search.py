@@ -243,7 +243,23 @@ def anchor_centroids(
     if len(rows) < n_centroids:
         raise ValueError(f"corpus ({len(rows)}) smaller than n_centroids ({n_centroids})")
     x = np.array([r["_v"] for r in rows], dtype=np.float64)
-    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    if not np.all(norms > 1e-9):
+        # fail loudly: a zero-norm anchor degenerates differently in every
+        # engine (Spark clamps to cosine 0, DuckDB's cosine returns NaN
+        # and sorts it FIRST under ORDER BY ... DESC) — a confusing hash
+        # mismatch downstream instead of a data error here
+        raise ValueError("anchor_centroids: zero-norm embedding among anchors")
+    return x / norms
+
+
+def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
+    """Round half AWAY FROM ZERO — the rule Spark's ``F.round`` and
+    DuckDB's ``round()`` share. ``np.round`` is half-even (banker's) and
+    disagrees with both on exact .5 boundaries, which would let a
+    Python-side assignment flip lists relative to a SQL oracle."""
+    p = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
 
 
 def make_ivf_list_udf(centroids: np.ndarray, nprobe: int, stable_rounded: bool = False):
@@ -255,9 +271,15 @@ def make_ivf_list_udf(centroids: np.ndarray, nprobe: int, stable_rounded: bool =
     ``stable_rounded`` makes the choice cross-engine reproducible: scores
     round to 6 decimals before ranking and ties break toward the LOWEST
     list index (stable argsort) — the same decision an oracle's
-    ``ORDER BY round(cos, 6) DESC, anchor_idx`` makes. The default path
-    keeps the cheaper argpartition (tie order unspecified), fine when
-    only recall is measured."""
+    ``ORDER BY round(cos, 6) DESC, anchor_idx`` makes. Rounding is
+    HALF-AWAY-FROM-ZERO (``_round_half_away``), the rule both Spark's
+    ``F.round`` and DuckDB's ``round()`` apply — numpy's default
+    ``np.round`` is banker's (half-even) and would disagree with both on
+    exact .5 boundaries. Residual cross-engine risk is only an
+    FP-association difference landing within ~1 ulp of a 5e-7 boundary
+    (~1e-9 per value) — the same exposure every round-6 oracle in the
+    registry carries. The default path keeps the cheaper argpartition
+    (tie order unspecified), fine when only recall is measured."""
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
     np_ = min(nprobe, len(cents))
 
@@ -269,7 +291,7 @@ def make_ivf_list_udf(centroids: np.ndarray, nprobe: int, stable_rounded: bool =
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ cents.T
         if stable_rounded:
-            top = np.argsort(-np.round(sims, 6), axis=1, kind="stable")[:, :np_]
+            top = np.argsort(-_round_half_away(sims, 6), axis=1, kind="stable")[:, :np_]
         elif np_ == len(cents):
             top = np.tile(np.arange(len(cents)), (len(mat), 1))
         else:

@@ -118,8 +118,14 @@ def test_ivf_anchor_quantizer_matches_numpy_replay(spark, emb):
     lowest-id rows; assignment/probe = argmax of round(cos, 6), ties to
     the lowest anchor index). Replay them independently in numpy and
     require EXACT (query, neighbor, rank) equality — the same property
-    the DuckDB oracle certifies cross-engine for ann_ivf_topk."""
-    from ai_data_matching_spark.operators.similarity_search import cosine_topk_ivf
+    the DuckDB oracle certifies cross-engine for ann_ivf_topk. Rounding
+    in the replay is half-away-from-zero (the Spark/DuckDB rule) via
+    _round_half_away, NOT np.round (half-even), so the replay can't pass
+    or fail on a rounding-rule difference."""
+    from ai_data_matching_spark.operators.similarity_search import (
+        _round_half_away,
+        cosine_topk_ivf,
+    )
 
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     got = {
@@ -134,13 +140,13 @@ def test_ivf_anchor_quantizer_matches_numpy_replay(spark, emb):
     x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     anchors = xn[:8]  # pdf is id-ordered: the 8 lowest vec_ids
-    sims = np.round(xn @ anchors.T, 6)
+    sims = _round_half_away(xn @ anchors.T, 6)
     assign = np.argsort(-sims, axis=1, kind="stable")[:, 0]
     want = set()
     for qi in np.flatnonzero(ids % 100 == 0):
         probes = np.argsort(-sims[qi], kind="stable")[:6]
         cand = np.flatnonzero(np.isin(assign, probes) & (ids != ids[qi]))
-        cos = np.round(xn[cand] @ xn[qi], 6)
+        cos = _round_half_away(xn[cand] @ xn[qi], 6)
         ordered = sorted(zip(-cos, ids[cand]))[:3]
         for rank, (_negc, nid) in enumerate(ordered, 1):
             want.add((int(ids[qi]), int(nid), rank))
