@@ -153,6 +153,39 @@ def test_ivf_anchor_quantizer_matches_numpy_replay(spark, emb):
     assert got == want and got
 
 
+def test_round_half_away_matches_duckdb_and_spark():
+    """_round_half_away is the cross-engine contract the anchor_ids IVF
+    leans on: pin it against DuckDB's round() on exact .5 boundaries
+    (where np.round's banker's rule disagrees) and on random doubles,
+    property-style."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ai_data_matching_spark.operators.similarity_search import _round_half_away
+
+    con = duckdb.connect()
+
+    def duck(v: float) -> float:
+        return con.execute("SELECT round(?::DOUBLE, 6)", [v]).fetchone()[0]
+
+    # exact representable halves at the 6th decimal (2^-7 and odd
+    # multiples): away-from-zero and banker's agree only when rounding
+    # away lands on an even digit, so 0.0078125 (→ ...12 vs ...13)
+    # separates the rules while 0.0234375 (→ ...438 both ways) doesn't
+    for v in (0.0078125, -0.0078125, 0.0234375, -0.0234375):
+        assert _round_half_away(np.array([v]), 6)[0] == duck(v), v
+    for v in (0.0078125, -0.0078125):
+        assert np.round(v, 6) != duck(v)  # proves the rules differ here
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False))
+    def prop(v):
+        assert _round_half_away(np.array([v]), 6)[0] == duck(v)
+
+    prop()
+
+
 def test_ivf_training_is_deterministic(spark, emb):
     """Two trainings over differently-partitioned inputs give the same
     centroids (hash-ordered sample, fixed init — no RNG state)."""
