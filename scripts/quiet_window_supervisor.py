@@ -62,23 +62,11 @@ def foreground_busy() -> bool:
 
 TASKS = [
     {
-        "name": "ratio_pair",
-        "min_eff": 0.6,
-        "min_rate": 15.0,
-        "max_runs": 2,
-        "cmd": (
-            "{py} scripts/profile_incremental.py 100000 16 10"
-            " >> BENCH/ratio_profile.log 2>&1 && "
-            "{py} scripts/profile_incremental.py 200000 16 20"
-            " >> BENCH/ratio_profile.log 2>&1"
-        ),
-    },
-    {
         "name": "bench",
         "min_eff": 0.6,
         "min_rate": 15.0,
         "max_runs": 1,
-        "cmd": "{py} bench.py > BENCH/bench_local_r04g.json 2>/dev/null",
+        "cmd": "{py} bench.py > BENCH/bench_local_r04h.json 2>/dev/null",
     },
     {
         "name": "scaling",
