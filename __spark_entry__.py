@@ -1654,9 +1654,9 @@ def oracle_sql() -> dict[str, str]:
                    nc::BIGINT AS n_candidates,
                    round(100.0 * (SELECT count(*) FROM m) / greatest(nc, 1), 4)
                      AS success_rate_pct,
-                   round((SELECT sum(vendor_value::DECIMAL(18,6)) FROM m), 2)::DOUBLE
+                   round((SELECT sum(vendor_value::DECIMAL(30,6)) FROM m), 2)::DOUBLE
                      AS total_vendor_value,
-                   round((SELECT sum(client_value::DECIMAL(18,6)) FROM m), 2)::DOUBLE
+                   round((SELECT sum(client_value::DECIMAL(30,6)) FROM m), 2)::DOUBLE
                      AS total_client_value
             FROM t
         """,

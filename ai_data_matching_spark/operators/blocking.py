@@ -47,30 +47,39 @@ DEFAULT_MAX_BLOCK_SIZE = 64
 def latest_crawl_wins(df: DataFrame, url_col: str = "url") -> DataFrame:
     """One row per url — the latest crawl, picked deterministically.
 
-    ``max(struct(rest))`` over every non-url column in frame order
-    (``warc_ts`` leads in every blocked frame): latest crawl wins, ties
-    fall through lang / norm_domain / norm_text / sketches. This is the
-    SAME rule as the incremental fold's within-batch dedup and the same
-    leading key as its newer-vs-stale re-crawl classification
-    (operators/incremental.py), so feeding a corpus all at once or in
-    batches resolves the identical survivor per url. ``dropDuplicates``
-    would be a partition-order-dependent pick. The groupBy is a map-side
-    combinable aggregation on the slim blocked projection — one struct
-    per (url, partition) reaches the shuffle.
+    ``max(struct(...))`` keyed (warc_ts, lang, norm_domain,
+    xxhash64(norm_text), simhash, …): latest crawl wins, ties fall
+    through lang / norm_domain / content hash / sketches. The leading
+    five fields are EXACTLY the incremental fold's newer-vs-stale
+    re-crawl classify key (operators/incremental.py compares the
+    committed ``norm_text_hash`` because the slim classify path never
+    reads history's norm_text) — the hash, not lexicographic norm_text,
+    is the content tiebreak HERE TOO, so feeding a corpus all at once or
+    in batches resolves the identical survivor per url even when two
+    crawls of a url tie on (warc_ts, lang, norm_domain) with different
+    text. ``dropDuplicates`` would be a partition-order-dependent pick.
+    The groupBy is a map-side combinable aggregation on the slim blocked
+    projection — one struct per (url, partition) reaches the shuffle.
 
     The key is ordered BY NAME, not by frame column order: ``warc_ts``
-    leads, then the blocked-frame tie columns in their contract order
-    (lang / norm_domain / norm_text / sketches — the same leading fields
-    as the fold's newer-vs-stale classify key), then any other columns
-    sorted. A caller passing columns in any order gets the same survivor
-    — frame-order keying would silently turn "latest crawl wins" into
+    leads, then the fold-classify tie columns in their contract order,
+    then the remaining blocked columns (norm_text last among them only
+    as a final total-order guard), then any other columns sorted. A
+    caller passing columns in any order gets the same survivor —
+    frame-order keying would silently turn "latest crawl wins" into
     "max first-column wins"."""
     canon = [
-        "warc_ts", "lang", "norm_domain", "norm_text",
-        "simhash", "minhash_sig", "block_keys",
+        "warc_ts", "lang", "norm_domain", "simhash",
+        "minhash_sig", "block_keys", "norm_text",
     ]
     rest = [c for c in df.columns if c != url_col]
-    key = [c for c in canon if c in rest] + sorted(c for c in rest if c not in canon)
+    named = [c for c in canon if c in rest] + sorted(c for c in rest if c not in canon)
+    key: list = [F.col(c) for c in named]
+    if "norm_text" in rest:
+        # content-hash tiebreak goes right after norm_domain (position 3),
+        # mirroring the fold's (ts, lang, nd, hash, simhash) classify key
+        at = min(3, len([c for c in ("warc_ts", "lang", "norm_domain") if c in rest]))
+        key.insert(at, F.xxhash64("norm_text").alias("_th"))
     return (
         df.groupBy(url_col)
         .agg(F.max(F.struct(*key)).alias("_m"))

@@ -142,9 +142,13 @@ def summary_metrics_data(
     Value totals sum in DECIMAL (exact, order-independent) and cast back
     to double: a naive double sum over millions of rows is partition-
     order-dependent in its last bits, so the same data would report
-    different totals run-to-run."""
+    different totals run-to-run. decimal(30,6) holds |v| < 10^24 per row
+    (a previous 18,6 cast silently NULLed — i.e. dropped from the sum —
+    any row at or above 10^12 under non-ANSI overflow semantics); Spark
+    widens the sum to decimal(38,6), DuckDB to DECIMAL(38,6), so the
+    oracle twin stays exact."""
     exact_sum = lambda c: F.round(  # noqa: E731
-        F.sum(F.col(c).cast("decimal(18,6)")), 2
+        F.sum(F.col(c).cast("decimal(30,6)")), 2
     ).cast("double")
     return matches.agg(
         F.count("*").alias("n_matched"),

@@ -449,12 +449,11 @@ def run_incremental(
         # text); the hash is the COMMITTED norm_text_hash column, so the
         # parquet scan below reads six fixed-width columns and norm_text
         # never leaves history's column chunks. Newer-vs-stale compares
-        # (warc_ts, lang, norm_domain, text-hash, simhash) — the same
-        # leading fields as the within-batch max-struct rule, with the
-        # content hash as the deterministic tiebreak instead of
-        # lexicographic full-text order (ties past norm_domain only
-        # arise for same-timestamp re-crawls; either rule is a
-        # deterministic "latest wins" pick).
+        # (warc_ts, lang, norm_domain, text-hash, simhash) — EXACTLY the
+        # leading key of blocking.latest_crawl_wins (which also breaks
+        # content ties on xxhash64(norm_text)), so batched and
+        # corpus-at-once ingestion resolve the identical survivor per
+        # url even for same-timestamp re-crawls with different text.
         _key = lambda ts, lg, nd, th, sh: F.struct(  # noqa: E731
             F.col(ts), F.col(lg), F.col(nd), F.col(th), F.col(sh)
         )

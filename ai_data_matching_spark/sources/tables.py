@@ -574,8 +574,18 @@ class TableIO:
             keep.add(head)
         compacted_stages: list[str] = []
         if spark is not None:
-            for fp in sorted(keep):
-                compacted_stages.extend(self.compact_state(spark, fp))
+            # Compact ONLY the kept fingerprints whose delta chain still
+            # needs records OUTSIDE the keep set — a kept head whose chain
+            # bottoms out inside `keep` (or at a full snapshot) stays
+            # reconstructible after the expiry without an O(history)
+            # rewrite. Walk in first-commit order: compacting the oldest
+            # boundary head first turns it into the full-snapshot floor
+            # the newer kept heads' ancestry walks then stop at, so a
+            # linear chain pays ONE full-state rewrite per gc, not
+            # keep_last of them.
+            for fp in [f for f in fps if f in keep]:
+                if self._ancestry({fp}) - keep:
+                    compacted_stages.extend(self.compact_state(spark, fp))
             records = self._read_manifest()  # compaction appended records
         ancestry = self._ancestry(keep)
         keep |= ancestry

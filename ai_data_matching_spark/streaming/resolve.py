@@ -31,6 +31,7 @@ from dataclasses import asdict
 
 from pyspark.sql import SparkSession
 
+from ..cache import release_persisted
 from ..operators.incremental import run_incremental
 from ..pipeline import PipelineConfig, run_pipeline
 from ..sources.tables import TableIO, config_fingerprint
@@ -92,17 +93,27 @@ def resolve_stream(
         if batch_df.isEmpty():
             return
         prior = latest_state_fingerprint(io, expect_cfg_fp=cfg_fp)
-        if prior is None:
-            run_pipeline(spark, batch_df, io=io, cfg=cfg)
-        else:
-            run_incremental(
-                spark,
-                batch_df,
-                io,
-                batch_id=f"epoch-{epoch_id}",
-                cfg=cfg,
-                prior_fingerprint=prior,
-            )
+        try:
+            if prior is None:
+                run_pipeline(spark, batch_df, io=io, cfg=cfg)
+            else:
+                run_incremental(
+                    spark,
+                    batch_df,
+                    io,
+                    batch_id=f"epoch-{epoch_id}",
+                    cfg=cfg,
+                    prior_fingerprint=prior,
+                )
+        finally:
+            # the fold's outputs live in committed snapshots by now; the
+            # ~6 persist_tracked frames each run_incremental registers
+            # (touched keys, exact edges, label deltas, the reconstructed
+            # edge view) would otherwise accumulate one fold's worth of
+            # MEMORY_AND_DISK blocks per epoch, unbounded over a
+            # long-running stream. Released handles stay usable — a later
+            # consumer just recomputes from lineage.
+            release_persisted()
 
     writer = (
         read_page_stream(spark, input_dir)

@@ -191,6 +191,8 @@ def _incremental_section(
         # reps=2 — one more same-window pair materially tightens the max
         # statistic the section reports, for ~25 s extra (untimed) wall
         reps = int(os.environ.get("BENCH_INC_REPS", "3"))
+    if reps <= 0:  # a non-positive rep count means "skip the section",
+        return     # not "crash on round(None) after the anchor ran"
     import shutil
     import tempfile
 

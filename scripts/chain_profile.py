@@ -118,15 +118,17 @@ def main() -> None:
         )
         print(json.dumps(rows[-1]), flush=True)
 
+    # CHAIN_COMPACT_EVERY=1 makes every fold a compaction fold — the
+    # non-compaction spread is then undefined, not a crash
     flat = [r["seconds"] for r in rows if not r["compaction_fold"]]
     print(
         json.dumps(
             {
                 "base_seconds": round(base_s, 2),
                 "folds": rows,
-                "non_compaction_min": min(flat),
-                "non_compaction_max": max(flat),
-                "spread": round(max(flat) / min(flat), 2),
+                "non_compaction_min": min(flat) if flat else None,
+                "non_compaction_max": max(flat) if flat else None,
+                "spread": round(max(flat) / min(flat), 2) if flat else None,
             }
         ),
         flush=True,

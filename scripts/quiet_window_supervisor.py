@@ -6,13 +6,14 @@ in quiet ones. Running independent retry loops for each would make them
 fire into the SAME quiet window and contend with each other, so this
 supervisor owns the probe and rotates a priority list:
 
-  1. ratio_pair — paired fold profiles at 9:1 and 19:1 corpus:batch
-     (adjacent windows, same session conditions): evidences that the
-     incremental fold's speedup vs recompute grows with the ratio.
-  2. bench — a full bench.py artifact captured in a quiet window
+  1. bench — a full bench.py artifact captured in a quiet window
      (its per-section gates re-probe, so sections stay labeled).
-  3. scaling — one more N→4N scaling attempt (needs the long, very
+  2. scaling — one more N→4N scaling attempt (needs the long, very
      quiet window: higher thresholds).
+
+(The earlier ratio_pair task — paired fold profiles at 9:1 and 19:1
+corpus:batch — ran to exhaustion on 2026-08-19; its evidence is in
+BENCH/ratio_profile.log and BENCH/BASELINE.md.)
 
 Each task runs at most ``max_runs`` times; the loop exits when all are
 exhausted. Every probe and every launch is logged as one JSON line.
