@@ -498,3 +498,100 @@ def test_resume_pre_status_blocked_delta(spark, pages_small, tmp_path):
     res = run_incremental(spark, batch, io, "b1", cfg=CFG)
     assert "blocked" in res.resumed_stages
     assert _partition(res.assigned) == _partition(ref.assigned)
+
+
+def test_gc_compacts_only_chain_boundary(spark, pages_small, tmp_path):
+    """gc(spark=...) must rewrite full state ONLY for kept fingerprints
+    whose delta chain exits the keep set — on a linear base→b1→b2→b3
+    chain with keep_last=3, exactly ONE fingerprint (the oldest kept)
+    compacts; the newer kept heads stay delta-backed and reconstruct
+    through it. The previous form compacted every kept fingerprint:
+    keep_last O(history) rewrites per gc instead of one."""
+    pages = pages_small.drop("entity_id")
+    io = TableIO(str(tmp_path / "snaps"))
+    run_pipeline(spark, _split(pages, 4, 0), io=io, cfg=CFG)
+    inc1 = run_incremental(spark, _split(pages, 4, 1), io, "b1", cfg=CFG)
+    inc2 = run_incremental(
+        spark, _split(pages, 4, 2), io, "b2", cfg=CFG, prior_fingerprint=inc1.fingerprint
+    )
+    inc3 = run_incremental(
+        spark, _split(pages, 4, 3), io, "b3", cfg=CFG, prior_fingerprint=inc2.fingerprint
+    )
+    want = _partition(inc3.assigned)
+
+    report = io.gc(keep_last=3, spark=spark)
+    # one boundary fingerprint × three state stages — not 3 × 3
+    assert sorted(report["compacted_stages"]) == ["blocked", "edges", "labels"]
+    # the newer kept heads were NOT rewritten: their state records remain
+    # delta-kind in the surviving manifest
+    for fp in (inc2.fingerprint, inc3.fingerprint):
+        for stage in ("blocked", "edges", "labels"):
+            rec, is_delta = io.state_record(stage, fp)
+            assert rec is not None and is_delta
+    # and the head still reconstructs the same clustering after expiry
+    from ai_data_matching_spark.operators.clustering import cluster_assignments
+
+    labels = io.read_state(spark, "labels", inc3.fingerprint)
+    blocked = io.read_state(spark, "blocked", inc3.fingerprint)
+    assert _partition(cluster_assignments(blocked.select("url"), labels)) == want
+
+
+def test_same_timestamp_recrawl_survivor_identity(spark, tmp_path):
+    """Content ties at identical (warc_ts, lang, norm_domain) must
+    resolve to the SAME survivor whether the two crawls arrive in one
+    corpus or as base + fold — the shared rule is max by
+    xxhash64(norm_text), the fold's slim classify key (the fold never
+    reads history's norm_text, so a lexicographic-text rule on the
+    corpus path could silently pick the other crawl)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    # find two texts whose lexicographic and xxhash64 orders DISAGREE —
+    # only such a pair exercises the divergence (fixed word list ⇒
+    # deterministic pick)
+    words = [f"alpha {w} crawl body" for w in (
+        "ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen", "ibis", "jay"
+    )]
+    hashes = {
+        r["t"]: r["h"]
+        for r in spark.createDataFrame([(w,) for w in words], "t string")
+        .select("t", F.xxhash64("t").alias("h"))
+        .collect()
+    }
+    pair = next(
+        (a, b)
+        for a in words
+        for b in words
+        if a < b and hashes[a] > hashes[b]
+    )
+    lex_loser_hash_winner, lex_winner_hash_loser = pair
+
+    ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    mk = lambda body: spark.createDataFrame(  # noqa: E731
+        [("https://tie.example.com/x", ts, f"<html><body>{body}</body></html>".encode(), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    a, b = mk(pair[0]), mk(pair[1])
+
+    def survivor(io_root: str, mode: str) -> str:
+        io = TableIO(str(tmp_path / io_root))
+        if mode == "corpus":
+            res = run_pipeline(spark, a.unionByName(b), io=io, cfg=CFG)
+            fp = res.fingerprint
+        else:
+            base, batch = (a, b) if mode == "fold_ab" else (b, a)
+            run_pipeline(spark, base, io=io, cfg=CFG)
+            fp = run_incremental(spark, batch, io, "b1", cfg=CFG).fingerprint
+        rows = io.read_state(spark, "blocked", fp).select("url", "norm_text").collect()
+        assert len(rows) == 1
+        return rows[0]["norm_text"]
+
+    winners = {
+        survivor("corpus", "corpus"),
+        survivor("fold_ab", "fold_ab"),
+        survivor("fold_ba", "fold_ba"),
+    }
+    assert len(winners) == 1
+    # and the shared rule is hash order, not lexicographic order
+    assert pair[0] in winners.pop()

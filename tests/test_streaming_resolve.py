@@ -43,6 +43,13 @@ def test_drops_fold_into_committed_state(spark, pages_small, tmp_path):
     fp2 = latest_state_fingerprint(io)
     assert fp2 != fp1
 
+    # each fold must release its persist_tracked handles before the next
+    # epoch — a long-running stream otherwise accumulates one fold's
+    # worth of cached blocks per epoch, unbounded
+    from ai_data_matching_spark.cache import _PERSISTED
+
+    assert _PERSISTED == []
+
     # incremental epochs commit DELTAS; the full state is a chain view
     labels = io.read_state(spark, "labels", fp2)
     blocked = io.read_state(spark, "blocked", fp2)
