@@ -72,20 +72,13 @@ _event = st.tuples(
 def test_fold_matches_recompute_under_random_recrawl_mix(
     spark, base_events, batch_events
 ):
-    # canonicalize body per (url, day): same-timestamp re-crawls of a url
-    # always carry identical content. The engine's two latest-wins rules
-    # (within-corpus max-struct on full text vs cross-state classify on
-    # text-hash) are each deterministic but may break a SAME-timestamp
-    # different-content tie differently — a documented reconciled
-    # divergence (operators/incremental.py), excluded here so the
-    # property tests everything else: changes across days, replays,
-    # refreshes, out-of-order deliveries.
-    canon: dict[tuple[int, int], int] = {}
-    for e in base_events + batch_events:
-        canon.setdefault((e[0], e[1]), e[2])
-    base_events = [(u, d, canon[(u, d)]) for u, d, _ in base_events]
-    batch_events = [(u, d, canon[(u, d)]) for u, d, _ in batch_events]
-
+    # Same-timestamp re-crawls with DIFFERENT content are deliberately
+    # left in: since 2026-08-19 the within-corpus max-struct rule
+    # (blocking.latest_crawl_wins) and the cross-state classify rule
+    # (operators/incremental.py) break such ties on the SAME key —
+    # (warc_ts, lang, norm_domain, xxhash64(norm_text), simhash) — so
+    # the property now covers them too, alongside changes across days,
+    # replays, refreshes, and out-of-order deliveries.
     base = spark.createDataFrame([_row(*e) for e in base_events], SCHEMA)
     batch = spark.createDataFrame([_row(*e) for e in batch_events], SCHEMA)
 
