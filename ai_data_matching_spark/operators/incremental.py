@@ -269,6 +269,14 @@ def incremental_candidate_pairs(
     )
     from ..functions.similarity import MAX_SCORE_CHARS
 
+    # The two attach joins below each stream this projection — two
+    # column-pruned history scans per fold. A measured-and-REJECTED
+    # alternative (2026-08-19): cut it to touched-block membership with a
+    # left-semi on touched uids and persist the O(touched) result before
+    # the joins — one scan instead of two, but the distinct + persist
+    # barrier cost MORE than the saved scan at bench scale (edges commit
+    # 4.2-4.8 s → 5.2-5.7 s in interleaved A/B). Revisit only if a real
+    # deployment measures the attach scans dominating the fold.
     payload = blocked_union.select(
         F.xxhash64(F.col("url")).alias("uid"),
         F.col("url"),
