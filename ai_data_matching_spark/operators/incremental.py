@@ -344,12 +344,19 @@ def run_incremental(
     fp = config_fingerprint({"cfg": asdict(cfg), "batch": batch_id, "prior": base_fp})
     resumed: list[str] = []
 
-    # Compaction decision is a function of the PRIOR chain only (this
-    # batch's own records never participate), so a killed retry makes the
-    # same call and resumes the same set of committed artifacts.
-    compact = (
-        compact_every > 0
-        and io.chain_length("blocked", base_fp) + 1 >= compact_every
+    # Compaction decision: a function of the PRIOR chain — OR of this
+    # fold's own already-committed full records. The second clause makes
+    # the decision stable across a killed retry even when gc compacted
+    # the prior head in between (chain_length then reads 0 and the bare
+    # threshold would flip to False): a first attempt that committed its
+    # full 'blocked' snapshot and died before 'edges'/'labels' must
+    # finish the set on retry, or the fingerprint is left permanently
+    # stage-misaligned (full blocked + delta edges) — the docstring's
+    # "every compact_every-th batch commits full snapshots" broken, and
+    # the read chain unbounded past it.
+    compact = compact_every > 0 and (
+        io.chain_length("blocked", base_fp) + 1 >= compact_every
+        or any(io.last_committed(s, fp) is not None for s in ("blocked", "edges", "labels"))
     )
     delta_extra = {"cfg_fp": cfg_fp, "prior": base_fp, "kind": "delta"}
     full_extra = {"cfg_fp": cfg_fp, "prior": base_fp, "kind": "full"}
@@ -700,7 +707,11 @@ def run_incremental(
     # view is merge-on-read: chain union + one max-struct dedup
     # (tables.merge_edge_sets — 'exact' outranks 'fuzzy' on a 1.0 tie so
     # a recurring exact edge is never relabeled by a tying fuzzy edge).
-    stage_delta("edges", _edges_delta)
+    # The returned frame IS the committed delta (read_or_compute re-reads
+    # after commit) — the labels stage and the batch metrics below
+    # consume it directly instead of re-resolving the manifest record
+    # and rebuilding the same scan plan twice per fold.
+    edge_delta = stage_delta("edges", _edges_delta)
     # consumed ≥2× below (clusters + stats) and by the caller — persist
     # the slim reconstructed view so the chain union + dedup shuffle runs
     # once (columns: 2 urls + score + type; MEMORY_AND_DISK spills)
@@ -717,8 +728,6 @@ def run_incremental(
         # incremental_label_delta). The committed artifact is the label
         # DELTA (changed prior rows + fresh urls), O(touched), never the
         # O(history) relabeled set.
-        delta_rec = io.last_committed("edges_delta", fp)
-        edge_delta = io.read_snapshot(spark, delta_rec)
         d, cc_iters = incremental_label_delta(_prior("labels"), edge_delta)
         return d
 
@@ -746,7 +755,6 @@ def run_incremental(
     # anyway. batch_ingest_* (above) already covers page-level counts.
     from .scoring import score_histogram
 
-    edge_delta = io.read_snapshot(spark, io.last_committed("edges_delta", fp))
     io.write_metric(
         edge_delta.agg(
             F.lit(batch_id).alias("batch_id"),

@@ -39,7 +39,6 @@ import os
 import re
 import time
 import uuid
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,14 +63,28 @@ _SCHEMA_DRIFT_FILL = {
 
 def merge_edge_sets(edges: DataFrame) -> DataFrame:
     """Dedup a union of edge sets under the monotone merge contract: the
-    same (src, dst) keeps its best score, and 'exact' outranks 'fuzzy' on
-    a 1.0 score tie (a bare (score, match_type) struct would rank 'fuzzy'
-    lexicographically above 'exact' and drift n_exact/n_fuzzy stats from
-    the full-recompute labeling). This is the storage layer's edge-merge
-    rule because delta-chain reads (``TableIO.read_state``) must apply it
-    to reconstruct the state a full rewrite would have committed."""
+    same UNDIRECTED pair keeps its best score, and 'exact' outranks
+    'fuzzy' on a 1.0 score tie (a bare (score, match_type) struct would
+    rank 'fuzzy' lexicographically above 'exact' and drift n_exact/
+    n_fuzzy stats from the full-recompute labeling). Orientation is
+    canonicalized (least, greatest) BEFORE the dedup: exact edges are
+    committed member→min-rep (src > dst) while fuzzy edges are url_a <
+    url_b, so one logical pair linked fuzzy in an early fold and exact
+    in a later one (re-crawled content joining the group) arrives in
+    BOTH orientations — a directed groupBy would keep both rows and
+    double-count the pair in every match statistic. Every consumer
+    (CC, consolidation, stats) is orientation-agnostic. This is the
+    storage layer's edge-merge rule because delta-chain reads
+    (``TableIO.read_state``) must apply it to reconstruct the state a
+    full rewrite would have committed."""
     return (
-        edges.groupBy("src", "dst")
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "score",
+            "match_type",
+        )
+        .groupBy("src", "dst")
         .agg(
             F.max(
                 F.struct(
@@ -257,16 +270,6 @@ class IcebergSnapshotBackend:
         return dropped
 
 
-@dataclass
-class CommitRecord:
-    stage: str
-    snapshot_id: str
-    fingerprint: str
-    row_count: int
-    n_partitions: int
-    committed_at: float
-
-
 class TableIO:
     def __init__(self, root: str, backend=None):
         self.root = root
@@ -289,8 +292,15 @@ class TableIO:
             json.dump(records, f, indent=1)
         os.replace(tmp, self._manifest_path)  # atomic publish
 
-    def last_committed(self, stage: str, fingerprint: str) -> dict | None:
-        for rec in reversed(self._read_manifest()):
+    def last_committed(
+        self, stage: str, fingerprint: str, records: list[dict] | None = None
+    ) -> dict | None:
+        """Newest manifest record for (stage, fingerprint). ``records``
+        lets chain walkers (read_state, chain_length, _ancestry) parse
+        the manifest ONCE per walk instead of once per hop — the
+        manifest grows with every commit of a long-running stream, so
+        per-hop re-parses are the wrong cost shape."""
+        for rec in reversed(records if records is not None else self._read_manifest()):
             if rec["stage"] == stage and rec["fingerprint"] == fingerprint:
                 return rec
         return None
@@ -362,14 +372,18 @@ class TableIO:
     #   edges            — append, then one monotone max-struct dedup
     #                      (exact outranks fuzzy on a 1.0 score tie)
 
-    def state_record(self, stage: str, fingerprint: str) -> tuple[dict | None, bool]:
+    def state_record(
+        self, stage: str, fingerprint: str, records: list[dict] | None = None
+    ) -> tuple[dict | None, bool]:
         """Newest record materializing ``stage`` at ``fingerprint``:
         (record, is_delta). A full snapshot supersedes a delta committed
         under the same fingerprint (compaction)."""
-        full = self.last_committed(stage, fingerprint)
+        if records is None:
+            records = self._read_manifest()
+        full = self.last_committed(stage, fingerprint, records)
         if full is not None:
             return full, False
-        delta = self.last_committed(stage + "_delta", fingerprint)
+        delta = self.last_committed(stage + "_delta", fingerprint, records)
         if delta is not None:
             return delta, True
         return None, False
@@ -378,8 +392,9 @@ class TableIO:
         """Number of delta hops from ``fingerprint`` back to the nearest
         full snapshot of ``stage`` (0 = full snapshot right here)."""
         n, fp = 0, fingerprint
+        records = self._read_manifest()
         while True:
-            rec, is_delta = self.state_record(stage, fp)
+            rec, is_delta = self.state_record(stage, fp, records)
             if rec is None or not is_delta:
                 return n
             n += 1
@@ -395,7 +410,8 @@ class TableIO:
         delta) is committed at this fingerprint; raises when a delta's
         ancestry is missing (gc'd without compaction — gc prevents this
         by construction, see ``gc``)."""
-        df = self._read_state_raw(spark, stage, fingerprint)
+        records = self._read_manifest()  # ONE parse for the whole chain walk
+        df = self._read_state_raw(spark, stage, fingerprint, records)
         if df is not None and stage == "edges":
             # the max-struct dedup is only needed when a delta CHAIN was
             # unioned: a full head snapshot is already merged (compaction
@@ -403,15 +419,21 @@ class TableIO:
             # dup-free by construction — route_unmatched excludes pairs
             # the exact stage matched). Skipping it saves a full-edge-set
             # shuffle on every read of a compacted head.
-            _, is_delta = self.state_record(stage, fingerprint)
+            _, is_delta = self.state_record(stage, fingerprint, records)
             if is_delta:
                 df = merge_edge_sets(df)
         return df
 
     def _read_state_raw(
-        self, spark: SparkSession, stage: str, fingerprint: str
+        self,
+        spark: SparkSession,
+        stage: str,
+        fingerprint: str,
+        records: list[dict] | None = None,
     ) -> DataFrame | None:
-        rec, is_delta = self.state_record(stage, fingerprint)
+        if records is None:
+            records = self._read_manifest()
+        rec, is_delta = self.state_record(stage, fingerprint, records)
         if rec is None:
             return None
         df = self.read_snapshot(spark, rec)
@@ -419,7 +441,7 @@ class TableIO:
             return df
         prior_fp = rec.get("prior")
         prior = (
-            self._read_state_raw(spark, stage, prior_fp)
+            self._read_state_raw(spark, stage, prior_fp, records)
             if prior_fp is not None
             else None
         )
@@ -480,19 +502,26 @@ class TableIO:
     def _ancestry(self, fingerprints: set[str]) -> set[str]:
         """Fingerprints whose snapshots are REQUIRED to reconstruct the
         state views of ``fingerprints``: walk each delta chain back to
-        its nearest full snapshot. Compaction batches commit all three
-        state stages together, so one walk per stage suffices."""
+        its nearest full snapshot, PER STAGE. The dedup memo is per
+        stage, never global: a fingerprint can be full for one stage but
+        delta for another (a crash between compact_state's per-stage
+        commits, or a killed compaction fold), and a global memo would
+        truncate the still-delta stage's walk at it — expiring ancestry
+        that stage still needs."""
         needed: set[str] = set()
-        for fp in fingerprints:
-            for stage in self._STATE_STAGES:
+        records = self._read_manifest()
+        for stage in self._STATE_STAGES:
+            seen: set[str] = set()  # same-stage chain suffixes are shared
+            for fp in fingerprints:
                 cur = fp
                 while True:
-                    rec, is_delta = self.state_record(stage, cur)
+                    rec, is_delta = self.state_record(stage, cur, records)
                     if rec is None or not is_delta:
                         break
                     cur = rec.get("prior")
-                    if cur is None or cur in needed:
+                    if cur is None or cur in seen:
                         break
+                    seen.add(cur)
                     needed.add(cur)
         return needed - fingerprints
 
@@ -561,11 +590,18 @@ class TableIO:
         for rec in records:
             if rec["fingerprint"] not in fps:
                 fps.append(rec["fingerprint"])
+        # Chain head = the newest ORIGINAL labels commit. Compaction
+        # rewrites (compact_state full records, tagged compacted_from)
+        # are appended at gc time for OLDER fingerprints — taking the
+        # last labels record by position would hand the head to the
+        # boundary fingerprint a previous gc compacted, and a keep_last
+        # window anchored there would expire the true head's newer folds.
         head = next(
             (
                 r["fingerprint"]
                 for r in reversed(records)
                 if r["stage"] in ("labels", "labels_delta")
+                and r.get("compacted_from") is None
             ),
             None,
         )

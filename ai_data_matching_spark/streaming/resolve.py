@@ -51,9 +51,16 @@ def latest_state_fingerprint(io: TableIO, expect_cfg_fp: str | None = None) -> s
     before cfg_fp existed can't be validated and pass through.
     """
     # incremental folds commit the labels stage as a DELTA snapshot
-    # (merge-on-read chain); either record form marks a complete state
+    # (merge-on-read chain); either record form marks a complete state.
+    # gc-time compaction REWRITES (tagged compacted_from) are skipped:
+    # they are appended last for an OLDER boundary fingerprint, and a
+    # restarted stream chaining onto one would silently orphan every
+    # fold committed after it (the drop files are already checkpointed
+    # and never re-delivered).
     for rec in reversed(io._read_manifest()):
-        if rec["stage"] in ("labels", "labels_delta"):
+        if rec["stage"] in ("labels", "labels_delta") and (
+            rec.get("compacted_from") is None
+        ):
             rec_cfg = rec.get("cfg_fp")
             if (
                 expect_cfg_fp is not None
@@ -101,7 +108,14 @@ def resolve_stream(
                     spark,
                     batch_df,
                     io,
-                    batch_id=f"epoch-{epoch_id}",
+                    # the prior fingerprint joins the batch id: a stream
+                    # restarted against a FRESH checkpoint dir renumbers
+                    # epochs from 0, and a bare epoch-N would overwrite
+                    # the original epoch-N's metric frames (batch_ingest,
+                    # block_overflow, score histogram — the observability
+                    # record). A true same-epoch replay recomputes the
+                    # same prior, so its idempotent overwrite is kept.
+                    batch_id=f"epoch-{epoch_id}-{prior[:8]}",
                     cfg=cfg,
                     prior_fingerprint=prior,
                 )

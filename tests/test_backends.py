@@ -142,3 +142,28 @@ def test_iceberg_backend_write_read_drop(spark, tmp_path):
     io.read_or_compute(spark, "labels", "fp2", lambda: df)
     report = io.gc(keep_last=1)
     assert report["dropped_records"] == 1
+
+
+def test_merge_edge_sets_collapses_opposite_orientations(spark):
+    """Exact edges are committed member->min-rep (src > dst) while fuzzy
+    edges are url_a < url_b: one logical pair linked fuzzy in an early
+    fold and exact in a later one arrives in BOTH orientations, and a
+    directed dedup would double-count it in every match statistic."""
+    from ai_data_matching_spark.sources.tables import merge_edge_sets
+
+    edges = spark.createDataFrame(
+        [
+            ("a.com/1", "b.com/2", 0.97, "fuzzy"),   # fuzzy orientation
+            ("b.com/2", "a.com/1", 1.0, "exact"),    # later exact, reversed
+            ("c.com/3", "c.com/4", 0.91, "fuzzy"),   # untouched pair
+        ],
+        "src string, dst string, score double, match_type string",
+    )
+    rows = {
+        (r["src"], r["dst"]): (r["score"], r["match_type"])
+        for r in merge_edge_sets(edges).collect()
+    }
+    assert rows == {
+        ("a.com/1", "b.com/2"): (1.0, "exact"),
+        ("c.com/3", "c.com/4"): (0.91, "fuzzy"),
+    }

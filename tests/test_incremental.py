@@ -595,3 +595,111 @@ def test_same_timestamp_recrawl_survivor_identity(spark, tmp_path):
     assert len(winners) == 1
     # and the shared rule is hash order, not lexicographic order
     assert pair[0] in winners.pop()
+
+
+def test_chain_head_survives_gc_compaction(spark, pages_small, tmp_path):
+    """gc-time compaction appends full records for an OLDER boundary
+    fingerprint; chain-head detection (stream restart + gc's own keep
+    anchor) must skip those rewrites or a restarted stream chains onto
+    the boundary and silently orphans every newer fold."""
+    from ai_data_matching_spark.streaming.resolve import latest_state_fingerprint
+
+    pages = pages_small.drop("entity_id")
+    io = TableIO(str(tmp_path / "snaps"))
+    run_pipeline(spark, _split(pages, 4, 0), io=io, cfg=CFG)
+    inc1 = run_incremental(spark, _split(pages, 4, 1), io, "b1", cfg=CFG)
+    inc2 = run_incremental(
+        spark, _split(pages, 4, 2), io, "b2", cfg=CFG, prior_fingerprint=inc1.fingerprint
+    )
+    # keep_last=2 keeps {b1, b2}: b1's chain exits the keep set (base is
+    # expired) so b1 — an OLDER fingerprint than the head — is compacted
+    report = io.gc(keep_last=2, spark=spark)
+    assert report["compacted_stages"]  # an older boundary WAS rewritten
+    assert report["chain_head"] == inc2.fingerprint
+    assert latest_state_fingerprint(io) == inc2.fingerprint
+    # a second gc anchors its keep window on the true head too
+    report2 = io.gc(keep_last=1, spark=spark)
+    assert report2["chain_head"] == inc2.fingerprint
+    assert inc2.fingerprint in report2["kept_fingerprints"]
+
+
+def test_ancestry_walks_every_stage_past_misaligned_fingerprint(
+    spark, pages_small, tmp_path
+):
+    """A fingerprint can be full for 'blocked' but delta for 'edges' (a
+    crash inside compact_state between its per-stage commits). gc
+    without a session must still keep the edges/labels ancestry BEHIND
+    it — a fingerprint-global memo truncated the later stages' walk
+    there and expired snapshots the chain still needs."""
+    pages = pages_small.drop("entity_id")
+    io = TableIO(str(tmp_path / "snaps"))
+    base = run_pipeline(spark, _split(pages, 4, 0), io=io, cfg=CFG)
+    inc1 = run_incremental(spark, _split(pages, 4, 1), io, "b1", cfg=CFG)
+    inc2 = run_incremental(
+        spark, _split(pages, 4, 2), io, "b2", cfg=CFG, prior_fingerprint=inc1.fingerprint
+    )
+    # simulate the killed compact_state: full 'blocked' lands at inc1,
+    # edges/labels stay delta there
+    io.commit(
+        io.read_state(spark, "blocked", inc1.fingerprint),
+        "blocked",
+        inc1.fingerprint,
+        extra={"kind": "full", "compacted_from": "simulated-crash"},
+    )
+    want = _partition(inc2.assigned)
+    report = io.gc(keep_last=1)  # no session → must KEEP needed ancestry
+    # the edges chain behind inc1 (base fingerprint) must survive
+    assert base.fingerprint in report["ancestry_kept"]
+    edges = io.read_state(spark, "edges", inc2.fingerprint)
+    assert edges is not None and edges.count() > 0
+    labels = io.read_state(spark, "labels", inc2.fingerprint)
+    blocked = io.read_state(spark, "blocked", inc2.fingerprint)
+    from ai_data_matching_spark.operators.clustering import cluster_assignments
+
+    assert _partition(cluster_assignments(blocked.select("url"), labels)) == want
+
+
+def test_compaction_retry_completes_after_interleaved_gc(
+    spark, pages_small, tmp_path
+):
+    """A compaction fold killed after its full 'blocked' commit must
+    still commit full 'edges'/'labels' on retry even when gc compacted
+    the prior head in between (chain_length then reads 0 and the bare
+    threshold alone would skip them, leaving the fingerprint permanently
+    stage-misaligned)."""
+    from dataclasses import asdict
+
+    from ai_data_matching_spark.sources.tables import config_fingerprint
+
+    pages = pages_small.drop("entity_id")
+    io = TableIO(str(tmp_path / "snaps"))
+    run_pipeline(spark, _split(pages, 4, 0), io=io, cfg=CFG)
+    inc1 = run_incremental(spark, _split(pages, 4, 1), io, "b1", cfg=CFG)
+
+    # first attempt of a compaction fold dies right after the full
+    # blocked commit: simulate by committing ONLY that artifact under
+    # the retry's (deterministic) fingerprint
+    cfg_fp = config_fingerprint(asdict(CFG))
+    fp = config_fingerprint(
+        {"cfg": asdict(CFG), "batch": "b2", "prior": inc1.fingerprint}
+    )
+    blocked_view = io.read_state(spark, "blocked", inc1.fingerprint)
+    io.commit(
+        blocked_view.limit(0),  # content irrelevant — the retry resumes it
+        "blocked",
+        fp,
+        extra={"cfg_fp": cfg_fp, "prior": inc1.fingerprint, "kind": "full"},
+    )
+    # retry with a LONG compact_every (threshold alone says no):
+    run_incremental(
+        spark,
+        _split(pages, 4, 2),
+        io,
+        "b2",
+        cfg=CFG,
+        prior_fingerprint=inc1.fingerprint,
+        compact_every=1000,
+    )
+    for stage in ("edges", "labels"):
+        rec, is_delta = io.state_record(stage, fp)
+        assert rec is not None and not is_delta, stage
