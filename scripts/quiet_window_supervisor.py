@@ -67,7 +67,7 @@ TASKS = [
         "min_eff": 0.6,
         "min_rate": 15.0,
         "max_runs": 1,
-        "cmd": "{py} bench.py > BENCH/bench_local_r04h.json 2>/dev/null",
+        "cmd": "{py} bench.py > BENCH/bench_local_r04i.json 2>/dev/null",
     },
     {
         "name": "scaling",
