@@ -703,3 +703,36 @@ def test_compaction_retry_completes_after_interleaved_gc(
     for stage in ("edges", "labels"):
         rec, is_delta = io.state_record(stage, fp)
         assert rec is not None and not is_delta, stage
+
+
+def test_incremental_cc_equals_full_cc_on_random_fold_sequences(spark):
+    """Property check behind the hand-picked shapes above: for random
+    edge-batch sequences, folding batch-by-batch through
+    incremental_components must reproduce the full CC over the
+    cumulative edge union AFTER EVERY FOLD — bridges, rep takeovers and
+    self-loops arise here by chance rather than by construction, and a
+    contraction bug that survives the directed cases (e.g. a rep-chain
+    two merges deep) has many chances to surface."""
+    import random
+
+    from ai_data_matching_spark.operators.clustering import connected_components
+    from ai_data_matching_spark.operators.incremental import incremental_components
+
+    # mixed lexicographic ranges so merged-component reps regularly move
+    # to a node introduced in a LATER fold (digit-prefixed sorts lowest)
+    universe = [f"n{i:02d}" for i in range(18)] + [f"{i}x" for i in range(6)]
+    as_map = lambda df: {r["url"]: r["component"] for r in df.collect()}  # noqa: E731
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        batches = [
+            [tuple(rng.sample(universe, 2)) for _ in range(8)] for _ in range(3)
+        ]
+        mk = lambda b: spark.createDataFrame(b, "src string, dst string")  # noqa: E731
+        prior, _ = connected_components(mk(batches[0]))
+        seen = batches[0]
+        for batch in batches[1:]:
+            prior, _ = incremental_components(prior, mk(batch))
+            seen = seen + batch
+            full, _ = connected_components(mk(seen))
+            assert as_map(prior) == as_map(full), f"seed={seed}"
