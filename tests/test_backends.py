@@ -167,3 +167,39 @@ def test_merge_edge_sets_collapses_opposite_orientations(spark):
         ("a.com/1", "b.com/2"): (1.0, "exact"),
         ("c.com/3", "c.com/4"): (0.91, "fuzzy"),
     }
+
+
+def test_merge_edge_sets_random_orientations_property(spark):
+    """Property form of the directed case above: for random edge
+    multisets (random orientation, score, type, duplicates), the merge
+    must emit exactly one canonical (least, greatest) row per undirected
+    pair carrying the max (score, exact-beats-fuzzy) — computed here
+    independently in plain Python."""
+    import random
+
+    from ai_data_matching_spark.sources.tables import merge_edge_sets
+
+    nodes = [f"u{i}" for i in range(6)]
+    for seed in (3, 17, 42):
+        rng = random.Random(seed)
+        rows = []
+        for _ in range(40):
+            a, b = rng.sample(nodes, 2)
+            score = rng.choice([0.85, 0.91, 0.97, 1.0])
+            mt = rng.choice(["exact", "fuzzy"]) if score == 1.0 else "fuzzy"
+            rows.append((a, b, score, mt))
+        expected: dict[tuple, tuple] = {}
+        for a, b, score, mt in rows:
+            key = (min(a, b), max(a, b))
+            cand = (score, mt == "exact")
+            if key not in expected or cand > expected[key]:
+                expected[key] = cand
+        got = {
+            (r["src"], r["dst"]): (r["score"], r["match_type"] == "exact")
+            for r in merge_edge_sets(
+                spark.createDataFrame(
+                    rows, "src string, dst string, score double, match_type string"
+                )
+            ).collect()
+        }
+        assert got == expected, f"seed={seed}"
