@@ -1073,11 +1073,13 @@ def oracle_sql() -> dict[str, str]:
         "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
         "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] ELSE [] END"
     )
-    # marker-hit count: non-overlapping padded-substring occurrences
+    # marker-hit count: exact token-equality count (lockstep twin of
+    # functions/text._substr_count — counts adjacent repeats correctly,
+    # unlike non-overlapping padded-substring replacement)
     def hits(words: list[str]) -> str:
+        toks_lower = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
         terms = [
-            f"((length(' ' || lower(text) || ' ') - "
-            f"length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {len(w) + 2})"
+            f"len(list_filter({toks_lower}, x -> x = '{w}'))"
             for w in words
         ]
         return "(" + " + ".join(terms) + ")"

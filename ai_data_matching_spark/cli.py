@@ -109,7 +109,9 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
 
-    if args.synth_pages:
+    if args.synth_pages is not None:
+        if args.synth_pages <= 0:
+            raise SystemExit("--synth-pages must be a positive page count")
         from .synth import generate_pages
 
         pages = generate_pages(spark, args.synth_pages, seed=args.seed).drop("entity_id")

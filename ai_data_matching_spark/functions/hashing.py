@@ -100,14 +100,20 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     return F.array(*sig)
 
 
-def minhash_band_keys(sig: Column, n_bands: int = 4) -> Column:
+def minhash_band_keys(sig: Column, n_bands: int = 4, k: int = 16) -> Column:
     """LSH band keys over a MinHash signature: hash each contiguous band of
-    rows to one key string."""
-    k = None  # band width derived from signature length at runtime is not
-    # expressible natively per-row with variable k; callers use fixed k=16.
-    del k
+    rows to one key string.
+
+    ``k`` is the signature length (array length per row is not readable in
+    a Python loop over native Columns, so the caller must pass it). Bands
+    must tile the signature exactly — otherwise slices past the end return
+    [] and every row would share a constant band key, collapsing the LSH
+    into one corpus-sized block.
+    """
+    if n_bands <= 0 or k % n_bands != 0:
+        raise ValueError(f"k={k} not divisible into n_bands={n_bands} equal bands")
     keys = []
-    rows_per_band = 4  # fixed for k=16, n_bands=4
+    rows_per_band = k // n_bands
     for b in range(n_bands):
         band = F.slice(sig, b * rows_per_band + 1, rows_per_band)
         keys.append(

@@ -44,12 +44,12 @@ def subword_count_est(text: Column) -> Column:
 
 
 def _substr_count(text: Column, needle: str) -> Column:
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    target = f" {needle} "
-    return (
-        (F.length(padded) - F.length(F.regexp_replace(padded, F.lit(target), F.lit(""))))
-        / F.lit(len(target))
-    ).cast("long")
+    """Count of whitespace-delimited tokens equal to ``needle`` after
+    lowercasing. Token equality, not padded-substring replacement: the
+    non-overlapping replace of ' w ' undercounts adjacent repeats ("the
+    the the" → 2, boundaries share one space) and misses tokens bounded
+    by tabs/newlines. Mirrored by the DuckDB oracle twin in lockstep."""
+    return F.size(F.filter(tokens_col(F.lower(text)), lambda t: t == needle)).cast("long")
 
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:

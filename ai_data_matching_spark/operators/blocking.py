@@ -130,7 +130,7 @@ def with_blocking_keys(
         simhash_bands(F.col("simhash"), n_simhash_bands),
     )
     if use_minhash_bands:
-        block_keys = F.concat(block_keys, minhash_band_keys(F.col("minhash_sig")))
+        block_keys = F.concat(block_keys, minhash_band_keys(F.col("minhash_sig"), k=minhash_k))
     return df.withColumn("block_keys", block_keys)
 
 

@@ -167,6 +167,25 @@ def duplicate_pairs_minhash_portable(
     return _verify_jaccard(base, bands, jaccard_threshold, round_to=6)
 
 
+def _verify_hamming(bands: DataFrame, max_hamming: int, hamming_type: str) -> DataFrame:
+    """Shared simhash tail: slim (id, _sim, bucket) self-join → cross-band
+    pair dedup → exact Hamming verify. ``bands`` must be one exploded row
+    per (doc, band), persisted by the caller (it feeds both join sides).
+    One tail for both sketch families so a fix to the ordering/verify
+    logic can never silently apply to only one of them."""
+    a = bands.select("bucket", F.col("id").alias("id_a"), F.col("_sim").alias("_sim_a"))
+    b = bands.select("bucket", F.col("id").alias("id_b"), F.col("_sim").alias("_sim_b"))
+    ham = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))).cast(hamming_type)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def duplicate_pairs_simhash_portable(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -200,17 +219,7 @@ def duplicate_pairs_simhash_portable(
             "id", "_sim", F.explode(P.simhash60_band_keys(F.col("_sim"), n_bands)).alias("bucket")
         )
     )
-    a = bands.select("bucket", F.col("id").alias("id_a"), F.col("_sim").alias("_sim_a"))
-    b = bands.select("bucket", F.col("id").alias("id_b"), F.col("_sim").alias("_sim_b"))
-    ham = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return _verify_hamming(bands, max_hamming, hamming_type="long")
 
 
 def duplicate_pairs_simhash(
@@ -236,17 +245,7 @@ def duplicate_pairs_simhash(
         "id", "_sim", F.explode(simhash_bands(F.col("_sim"), n_bands)).alias("bucket")
     )
     bands = persist_tracked(bands)  # consumed by both sides of the bucket self-join
-    a = bands.select("bucket", F.col("id").alias("id_a"), F.col("_sim").alias("_sim_a"))
-    b = bands.select("bucket", F.col("id").alias("id_b"), F.col("_sim").alias("_sim_b"))
-    ham = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return _verify_hamming(bands, max_hamming, hamming_type="int")
 
 
 DEFAULT_MAX_POSTING_SIZE = 64
@@ -408,14 +407,31 @@ def duplicate_pairs_embedding_cosine(
 
 def survivors_from_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Resolve duplicate pairs to survivors: connected components over the
-    pair graph, keep min-id per component. Reuses the pipeline's CC."""
+    pair graph, keep min-id per component. Reuses the pipeline's CC.
+
+    "min id" is the minimum in the id column's OWN ordering (numeric for
+    numeric ids, lexicographic for strings) — the same survivor rule as
+    ``dedup_exact``. CC itself runs on string keys, whose lexicographic
+    component representative can differ from the numeric min (e.g. "10" <
+    "2"), so the survivor is re-derived per component from the typed ids
+    instead of trusting the CC label.
+    """
     from .clustering import connected_components
 
     edges = pairs.select(
         F.col("id_a").cast("string").alias("src"), F.col("id_b").cast("string").alias("dst")
     )
     labels, _ = connected_components(edges)
-    losers = labels.filter(F.col("url") != F.col("component")).select(
-        F.col("url").cast("long").alias(id_col)
+    # map the string CC members back to typed ids (slim ids-only join),
+    # then keep the typed min per component
+    typed = docs.select(F.col(id_col).alias("_tid")).withColumn(
+        "_sid", F.col("_tid").cast("string")
+    )
+    members = labels.select(F.col("url").alias("_sid"), "component").join(typed, "_sid")
+    keep = members.groupBy("component").agg(F.min("_tid").alias("_keep"))
+    losers = (
+        members.join(keep, "component")
+        .filter(F.col("_tid") != F.col("_keep"))
+        .select(F.col("_tid").alias(id_col))
     )
     return docs.join(losers, id_col, "left_anti")

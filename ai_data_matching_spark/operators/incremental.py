@@ -439,8 +439,16 @@ def run_incremental(
 
     def _blocked_delta() -> DataFrame:
         prior_blocked = _with_content_hash(_prior("blocked"))
+        # the docstring admits (url, warc_ts, html) without text/lang;
+        # fill the optional columns with typed nulls so the BLOCKED_COLS
+        # projection below resolves (same shape the schema-drift fill in
+        # read_state uses)
+        batch_src = new_pages
+        for _c in ("text", "lang"):
+            if _c not in batch_src.columns:
+                batch_src = batch_src.withColumn(_c, F.lit(None).cast("string"))
         batch = with_extract_sketch_keys(
-            new_pages,
+            batch_src,
             n_simhash_bands=cfg.n_simhash_bands,
             minhash_k=cfg.minhash_k,
             # extracted_text is dropped by the BLOCKED_COLS projection —

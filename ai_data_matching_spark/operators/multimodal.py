@@ -27,6 +27,14 @@ from pyspark.sql import functions as F
 from ..functions import png as _png
 from ..functions import riff as _riff
 
+
+def _opt_id(v) -> int | None:
+    """Nullable-long id from a pandas cell: a NULL id row must flow through
+    as NULL, not crash the task — the module's corrupt-input discipline
+    (pandas renders a nullable long batch column as float64 with NaN)."""
+    return None if pd.isna(v) else int(v)
+
+
 MEDIA_META_SCHEMA = (
     "id long, media_type string, n_bytes long, magic string, "
     "width int, height int, duration_ms long, "
@@ -122,7 +130,7 @@ def extract_media_metadata(
                     codec = True
                 out.append(
                     dict(
-                        id=int(_id),
+                        id=_opt_id(_id),
                         media_type=mtype,
                         n_bytes=len(data),
                         magic=data[:4].hex(),
@@ -168,13 +176,13 @@ def extract_image_stats(
                     w, h, nch, px = _png.decode_png(data)
                     s = sum(px)
                     out.append(dict(
-                        id=int(_id), width=w, height=h, n_channels=nch,
+                        id=_opt_id(_id), width=w, height=h, n_channels=nch,
                         pixel_sum=s, pixel_mean=s / len(px) if px else 0.0,
                         decode_error=False,
                     ))
                 except ValueError:
                     out.append(dict(
-                        id=int(_id), width=None, height=None, n_channels=None,
+                        id=_opt_id(_id), width=None, height=None, n_channels=None,
                         pixel_sum=None, pixel_mean=None, decode_error=True,
                     ))
             yield pd.DataFrame(

@@ -57,6 +57,21 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _score_topk(cand: DataFrame, k: int, qv: str = "_queryv", cv: str = "_neighborv") -> DataFrame:
+    """Shared scoring tail for all three search paths: exact cosine
+    (rounded to 6 for stable cross-engine hashes) → per-query top-k with
+    the deterministic (desc cosine, asc neighbor_id) tie-break. One tail
+    so a tie-break or rounding change can never drift between bruteforce
+    and the approximate paths' recall-vs-bruteforce measurement."""
+    scored = cand.withColumn("cosine", F.round(cosine_col(F.col(qv), F.col(cv)), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -70,17 +85,8 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    cand = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    return _score_topk(cand, k, qv="_qv", cv="_cv")
 
 
 _SPLITMIX_1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -160,15 +166,7 @@ def cosine_topk_lsh(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cosine", F.round(cosine_col(F.col("_queryv"), F.col("_neighborv")), 6)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _score_topk(cand, k)
 
 
 def train_ivf_centroids(
@@ -357,12 +355,4 @@ def cosine_topk_ivf(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cosine", F.round(cosine_col(F.col("_queryv"), F.col("_neighborv")), 6)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _score_topk(cand, k)

@@ -211,7 +211,9 @@ def write_xlsx(sheets: dict[str, list[list[Cell]]], path: str) -> str:
                 '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
             )
             wb_sheets.append(
-                f'<sheet name="{escape(name)}" sheetId="{i}" r:id="rId{i}"/>'
+                # attribute context: saxutils.escape leaves double quotes
+                # alone by default, which would break the name="..." attr
+                f'<sheet name="{escape(name, {chr(34): "&quot;"})}" sheetId="{i}" r:id="rId{i}"/>'
             )
             wb_rels.append(
                 f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'

@@ -149,3 +149,27 @@ def test_latest_crawl_wins_is_column_order_independent(spark):
         for r in latest_crawl_wins(df.select("url", "warc_ts", "lang")).collect()
     }
     assert out2 == {"u1": "aa"}
+
+
+def test_minhash_band_keys_tile_any_k(spark):
+    """Band keys must tile the signature for non-default k (regression:
+    rows_per_band was hardcoded to 4, so k=8 sliced past the signature and
+    bands 2-3 collapsed to one constant key for every doc)."""
+    from ai_data_matching_spark.functions.hashing import minhash_band_keys
+
+    rows = [
+        ("http://a.com/1", "alpha beta gamma delta epsilon zeta", "en"),
+        ("http://b.com/1", "totally different words here now ok", "en"),
+    ]
+    base = spark.createDataFrame(rows, "url string, norm_text string, lang string")
+    df = with_blocking_keys(base, minhash_k=8, use_minhash_bands=True)
+    rows = df.select("block_keys").collect()
+    mh = [sorted(k for k in r["block_keys"] if k.startswith("mh")) for r in rows]
+    # with 4 bands over k=8 every doc gets 4 distinct mh keys, and docs with
+    # different text must not share all four
+    assert all(len(ks) == 4 for ks in mh)
+    assert len({tuple(ks) for ks in mh}) > 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_band_keys(F.col("minhash_sig"), n_bands=3, k=16)

@@ -86,3 +86,16 @@ def test_cli_backend_selection(spark, tmp_path):
     assert be.table_ident("blocked", "x1") == "prod.er.blocked_x1"
 
     assert _make_io(spark, _parse_args(["--synth-pages", "10"])) is None
+
+
+def test_cli_rejects_zero_synth_pages(tmp_path):
+    """--synth-pages 0 must fail with a clear message, not fall through to
+    the --input branch and crash on args.input=None."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="synth-pages"):
+        main([
+            "--synth-pages", "0",
+            "--checkpoint-root", str(tmp_path / "c"),
+            "--output-prefix", str(tmp_path / "o"),
+        ])

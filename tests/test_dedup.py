@@ -160,3 +160,25 @@ def test_ngram_jaccard_null_block_rows_never_pair(spark):
         for r in duplicate_pairs_ngram_jaccard(docs, threshold=0.5).collect()
     }
     assert got == {(4, 5)}
+
+
+def test_survivors_numeric_min_beats_string_min(spark):
+    """Component {2, 10}: the CC label (string min) is "10" but the survivor
+    must be the NUMERIC min 2 — the same rule as dedup_exact."""
+    docs = spark.createDataFrame(
+        [(2, "a"), (10, "a"), (7, "b")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(2, 10)], "id_a long, id_b long")
+    kept = {r["doc_id"] for r in survivors_from_pairs(docs, pairs).collect()}
+    assert kept == {2, 7}
+
+
+def test_survivors_string_ids(spark):
+    """String ids must dedup too (regression: a cast('long') on the loser
+    ids turned them all NULL, so nothing was ever dropped)."""
+    docs = spark.createDataFrame(
+        [("doc-1", "a"), ("doc-2", "a"), ("doc-9", "b")], "doc_id string, text string"
+    )
+    pairs = spark.createDataFrame([("doc-1", "doc-2")], "id_a string, id_b string")
+    kept = {r["doc_id"] for r in survivors_from_pairs(docs, pairs).collect()}
+    assert kept == {"doc-1", "doc-9"}

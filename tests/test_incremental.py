@@ -736,3 +736,17 @@ def test_incremental_cc_equals_full_cc_on_random_fold_sequences(spark):
             seen = seen + batch
             full, _ = connected_components(mk(seen))
             assert as_map(prior) == as_map(full), f"seed={seed}"
+
+
+def test_incremental_accepts_minimal_batch(spark, pages_small, tmp_path):
+    """The docstring admits (url, warc_ts, html) without text/lang — a
+    minimal batch must fold, with lang filled as a typed NULL (regression:
+    the BLOCKED_COLS projection required lang unconditionally and raised
+    mid-fold)."""
+    pages = pages_small.drop("entity_id")
+    base = _split(pages, 4, 0)
+    batch = _split(pages, 4, 3).select("url", "warc_ts", "html")
+    io = TableIO(str(tmp_path / "snaps"))
+    run_pipeline(spark, base, io=io, cfg=CFG)
+    res = run_incremental(spark, batch, io, "minimal", cfg=CFG)
+    assert res.assigned.filter(F.col("url").isNotNull()).count() > 0

@@ -190,3 +190,19 @@ def test_frame_sample_plan(media):
     assert sorted(by_id[8]) == [0, 5000, 10000]
     # webm duration is unparseable without a codec → excluded, not guessed
     assert 4 not in by_id
+
+
+def test_metadata_null_id_flows_through(spark):
+    """A NULL id row must emit a NULL-id metadata row, not crash the task
+    (regression: int(NaN) raised inside mapInPandas)."""
+    df = spark.createDataFrame(
+        [(None, b"\x89PNG bogus"), (11, None)], "id long, payload binary"
+    )
+    rows = sorted(
+        extract_media_metadata(df).collect(), key=lambda r: (r["id"] is None, r["id"] or 0)
+    )
+    assert rows[0]["id"] == 11 and rows[0]["media_type"] == "unknown"
+    assert rows[1]["id"] is None and rows[1]["decode_error"] is True
+    stats = extract_image_stats(df).collect()
+    assert {r["id"] for r in stats} == {None, 11}
+    assert all(r["decode_error"] for r in stats)

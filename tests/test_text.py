@@ -76,3 +76,18 @@ def test_fingerprint_stability(spark):
     df = spark.createDataFrame(rows, "id long, text string")
     fps = {r["id"]: r["fp"] for r in df.select("id", doc_fingerprint(F.col("text")).alias("fp")).collect()}
     assert fps[1] == fps[2] != fps[3]
+
+
+def test_marker_count_adjacent_repeats(spark):
+    """Adjacent repeated stopwords must each count (regression: the padded
+    non-overlapping replace counted 'the the the' as 2), and tokens split
+    on any whitespace, not just literal spaces."""
+    from ai_data_matching_spark.functions.text import _substr_count, stopword_ratio
+
+    df = spark.createDataFrame([("the the the",), ("the\nthe\tthe x",)], "t string")
+    got = df.select(
+        _substr_count(F.col("t"), "the").alias("n"),
+        F.round(stopword_ratio(F.col("t")), 6).alias("r"),
+    ).collect()
+    assert got[0]["n"] == 3 and got[0]["r"] == 1.0
+    assert got[1]["n"] == 3 and got[1]["r"] == 0.75

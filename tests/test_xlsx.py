@@ -74,3 +74,14 @@ def test_header_probe_skiprows(tmp_path):
     # no keyword anywhere → fallback to row 0
     skip0, headers0, _ = probe_header_row(matrix, ["zzz"])
     assert skip0 == 0 and headers0[0] == "junk 0"
+
+
+def test_sheet_name_with_quotes(tmp_path):
+    """Double quotes in a sheet name must be escaped in the name="..."
+    attribute (regression: saxutils.escape leaves quotes alone, producing
+    malformed workbook.xml that no reader could parse)."""
+    p = str(tmp_path / "q.xlsx")
+    name = 'Q1 "Final" <Report> & Co'
+    write_xlsx({name: [["h"], ["v"]]}, p)
+    back = read_workbook(p)
+    assert back[name] == [["h"], ["v"]]
