@@ -29,7 +29,6 @@ from ai_data_matching_spark.extract import (
 )
 from ai_data_matching_spark.partitioning import one_group
 from ai_data_matching_spark.functions.text import (
-    doc_fingerprint,
     lang_id,
     mean_word_length,
     punct_ratio,
@@ -703,11 +702,16 @@ def q_s6_column_mapping(spark, sf_dir):
 
 
 def q_json_extract_props(spark, sf_dir):
-    """S6-analog: typed extraction from semi-structured props column."""
+    """S6-analog: typed extraction from semi-structured props column.
+
+    The long cast is guarded by an integral-literal regex on BOTH sides:
+    a bare cast diverges between the engines on non-integral strings
+    (Spark ANSI-nulls '1.5', DuckDB try_cast rounds it to 2)."""
     e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.when(k.rlike(r"^-?\d+$"), k.cast("long")).alias("k_val"),
     )
 
 
@@ -935,14 +939,19 @@ def q_s2_s3_excel_ingest(spark, sf_dir):
         "Events Export": [["Event ID", " Event Type ", "Pad A", "Pad B"]]
         + [[r["event_id"], r["event_type"], "", ""] for r in rows],
     }
-    path = os.path.join(tempfile.gettempdir(), f"graft_s2_{os.getpid()}.xlsx")
-    write_xlsx(sheets, path)
-    sheet, headers, data = load_best_sheet(path)
-    assert sheet == "Events Export" and headers[1] == "Event Type"
-    out = spark.createDataFrame(
-        [(int(r[0]), str(r[1])) for r in data], "event_id long, event_type string"
-    )
-    os.remove(path)
+    # unique per call (not pid-keyed: two concurrent runs in one process
+    # must not share a path) and removed even when the assert fires
+    fd, path = tempfile.mkstemp(prefix="graft_s2_", suffix=".xlsx")
+    os.close(fd)
+    try:
+        write_xlsx(sheets, path)
+        sheet, headers, data = load_best_sheet(path)
+        assert sheet == "Events Export" and headers[1] == "Event Type"
+        out = spark.createDataFrame(
+            [(int(r[0]), str(r[1])) for r in data], "event_id long, event_type string"
+        )
+    finally:
+        os.remove(path)
     return out
 
 
@@ -1088,7 +1097,6 @@ def oracle_sql() -> dict[str, str]:
     de = hits(["der", "und", "die", "ist", "das"])
     fr = hits(["le", "la", "et", "les", "est"])
     es = hits(["el", "la", "que", "los", "es"])
-    sw = hits(["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"])
 
     return {
         "p1_normalize_text": f"SELECT doc_id, {norm} AS norm_text FROM documents",
@@ -1517,9 +1525,11 @@ def oracle_sql() -> dict[str, str]:
                    lpad(((v - floor(v)) * 100)::BIGINT::VARCHAR, 2, '0') AS total_fmt
             FROM r
         """,
-        "json_extract_props": """
+        "json_extract_props": r"""
             SELECT event_id,
-                   try_cast(json_extract_string(props, '$.k') AS bigint) AS k_val
+                   CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$')
+                        THEN try_cast(json_extract_string(props, '$.k') AS bigint)
+                   END AS k_val
             FROM events
         """,
         "s6_column_mapping": """

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -108,8 +109,12 @@ def _build(cpus: int):
     )
 
 
-def _pipeline_run(spark, cpus: int, n_pages: int, reps: int = 2) -> tuple[int, float]:
-    """Best-of-``reps`` timed pipeline runs. The input is materialized and
+def _pipeline_run(
+    spark, cpus: int, n_pages: int, reps: int = 2
+) -> "tuple[int, float, float | None]":
+    """Best-of-``reps`` timed pipeline runs, returning (n_docs, best_seconds,
+    pairwise_f1) — f1 is None until the final rep computes it. The input is
+    materialized and
     the Python worker pool + JIT warmed (2k-page un-timed run) outside the
     window; Spark's cache is cleared between reps so plan-matching never
     lets a rep read the previous rep's persisted stages."""
@@ -273,7 +278,10 @@ def main() -> None:
     pipe_cpus = int(os.environ.get("BENCH_PIPELINE_CPUS", "16"))
     n_pages = int(os.environ.get("BENCH_PAGES", "100000"))
     only = os.environ.get("BENCH_ONLY")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    # label only — fall back instead of crashing on dirs where 'sf' is not
+    # followed by a bare number (e.g. /mnt/transfer/tables)
+    m = re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -34,12 +35,8 @@ COMPACT_EVERY = int(os.environ.get("CHAIN_COMPACT_EVERY", "3"))
 
 
 def main() -> None:
-    from ai_data_matching_spark.cache import release_persisted
-    from ai_data_matching_spark.operators.incremental import run_incremental
-    from ai_data_matching_spark.pipeline import run_pipeline
     from ai_data_matching_spark.session import build_session
     from ai_data_matching_spark.sources.tables import TableIO
-    from ai_data_matching_spark.synth import generate_pages
 
     spark = build_session(
         app_name="chain-profile",
@@ -49,6 +46,23 @@ def main() -> None:
     shm = "/dev/shm/spark-bench"
     root = tempfile.mkdtemp(prefix="chain-", dir=shm if os.path.isdir(shm) else None)
     io = TableIO(root)
+    # tmpfs is host RAM — always reclaim both roots and stop the session,
+    # even on a mid-run crash (profile_incremental.py convention)
+    warm_root = tempfile.mkdtemp(prefix="chain-warm-", dir=os.path.dirname(root))
+    try:
+        _profile(spark, io, root, warm_root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(warm_root, ignore_errors=True)
+        spark.stop()
+
+
+def _profile(spark, io, root: str, warm_root: str) -> None:
+    from ai_data_matching_spark.cache import release_persisted
+    from ai_data_matching_spark.operators.incremental import run_incremental
+    from ai_data_matching_spark.pipeline import run_pipeline
+    from ai_data_matching_spark.sources.tables import TableIO
+    from ai_data_matching_spark.synth import generate_pages
 
     # base corpus + N_FOLDS disjoint batches, all deterministic. Each
     # batch is 10% of the base (the bench's ratio) drawn from a shifted
@@ -61,7 +75,6 @@ def main() -> None:
     # warm the Python worker pool + codegen outside every timed window
     # (same convention as bench.py): a tiny pipeline + fold on a
     # THROWAWAY root so the measured chain starts cold-free but intact.
-    warm_root = tempfile.mkdtemp(prefix="chain-warm-", dir=os.path.dirname(root))
     warm_io = TableIO(warm_root)
     warm = generate_pages(spark, 2000, seed=1).drop("entity_id")
     run_pipeline(spark, warm, io=warm_io)

@@ -61,13 +61,19 @@ def foreground_busy() -> bool:
     return any(pid != me for pid in out)
 
 
+# the documented [log_suffix] argument names the bench artifact, so a
+# rerun never silently overwrites a previous capture referenced by docs
+LOG_SUFFIX = sys.argv[1] if len(sys.argv) > 1 else "r04i"
+
 TASKS = [
     {
         "name": "bench",
         "min_eff": 0.6,
         "min_rate": 15.0,
         "max_runs": 1,
-        "cmd": "{py} bench.py > BENCH/bench_local_r04i.json 2>/dev/null",
+        "cmd": "{py} bench.py > BENCH/bench_local_"
+        + LOG_SUFFIX
+        + ".json 2>/dev/null",
     },
     {
         "name": "scaling",

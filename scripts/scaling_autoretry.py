@@ -80,13 +80,34 @@ def main() -> None:
             continue
         attempts += 1
         env = dict(os.environ, SCALING_REPS="2")
-        subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts", "scaling_bench.py"),
-             str(pages), "1", "4"],
-            env=env, timeout=3600, check=False,
-        )
-        with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl")) as f:
-            last = json.loads(f.readlines()[-1])
+        runs_path = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+        # count lines BEFORE the child runs: a failed child appends
+        # nothing, and re-reading the previous attempt's record could
+        # falsely report a stale PASS
+        try:
+            with open(runs_path) as f:
+                n_before = sum(1 for _ in f)
+        except FileNotFoundError:
+            n_before = 0
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts", "scaling_bench.py"),
+                 str(pages), "1", "4"],
+                env=env, timeout=3600, check=False,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -9
+        try:
+            with open(runs_path) as f:
+                lines = f.readlines()
+        except FileNotFoundError:
+            lines = []
+        if rc != 0 or len(lines) <= n_before:
+            print(json.dumps({"attempt": attempts, "rc": rc,
+                              "error": "no new record"}), flush=True)
+            time.sleep(300)
+            continue
+        last = json.loads(lines[-1])
         print(json.dumps({"attempt": attempts, "eff": last["scaling_efficiency"],
                           "passed": last["passed"]}), flush=True)
         if last["passed"]:
