@@ -250,6 +250,54 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_ngram_span_dedup(spark, sf_dir):
+    """Span-level exact-substring dedup marking (Lee et al. recipe): each
+    0-based token position whose 5-gram is shared by ≥2 distinct docs.
+    The oracle twin groups on the gram STRING where the engine groups on
+    xxhash64 — a hash collision at test scale breaks the hash gate."""
+    from ai_data_matching_spark.operators.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(_t(spark, sf_dir, "documents"), n=5, min_docs=2)
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Canonical-URL normalization (functions/urls.py contract) over a
+    deterministically messy URL column synthesized in-query from the
+    documents table — scheme/host case, default vs explicit ports,
+    trailing slashes, utm_*/fbclid tracking params, fragments with a
+    decoy '?', bare-'?' queries, and non-URL passthrough rows. The
+    DuckDB twin rebuilds the same URLs and applies the same rules."""
+    from ai_data_matching_spark.functions.urls import canonical_url
+
+    d = _t(spark, sf_dir, "documents")
+    m = lambda k: F.col("doc_id") % k  # noqa: E731
+
+    scheme = (
+        F.when(m(4) == 0, "HTTPS").when(m(4) == 1, "https")
+        .when(m(4) == 2, "HTTP").otherwise("http")
+    )
+    port = F.when(m(3) == 0, ":443").when(m(3) == 1, ":8080").otherwise("")
+    path = (
+        F.when(m(5) == 0, "").when(m(5) == 1, "/").when(m(5) == 2, "/A/b/")
+        .otherwise(F.concat(F.lit("/a/"), F.col("doc_id").cast("string")))
+    )
+    query = (
+        F.when(
+            m(2) == 0,
+            F.concat(F.lit("?utm_source=feed&z=9&a="), F.col("lang"), F.lit("&utm_medium=x")),
+        )
+        .when(m(7) == 0, "?")
+        .otherwise("")
+    )
+    frag = F.when(m(6) == 0, "#sec?x").otherwise("")
+    url = F.when(
+        m(11) == 0, F.concat(F.lit("plain text "), F.col("doc_id").cast("string"))
+    ).otherwise(
+        F.concat(scheme, F.lit("://WWW."), F.col("source"), F.lit(".Example.COM"), port, path, query, frag)
+    )
+    return d.select("doc_id", url.alias("url_raw"), canonical_url(url).alias("url_canon"))
+
+
 def q_text_quality(spark, sf_dir):
     from ai_data_matching_spark.partitioning import fan_out
 
@@ -363,6 +411,40 @@ def q_ann_ivf_topk(spark, sf_dir):
     return cosine_topk_ivf(
         emb, queries, k=3, n_centroids=8, nprobe=6, quantizer="anchor_ids"
     )
+
+
+def q_ann_lsh_ivf_topk(spark, sf_dir):
+    """Both bucketed ANN variants in one registry entry (method-tagged
+    union — the driver's CORRECTNESS artifact caps at 50 queries, so the
+    two identically-shaped ANN paths share a row; each variant's own
+    semantics are unchanged and separately exercised)."""
+    lsh = q_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    ivf = q_ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return lsh.unionByName(ivf)
+
+
+def q_near_dup_sim_emb_pairs(spark, sf_dir):
+    """SimHash and embedding-cosine near-dup pairs in one method-tagged
+    entry (same 50-row-cap consolidation as q_ann_lsh_ivf_topk): value is
+    the variant's own metric — hamming distance (exact, cast to double)
+    for simhash, cosine for embeddings."""
+    sim = q_simhash_near_pairs(spark, sf_dir).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("value"),
+    )
+    emb = q_embedding_cosine_pairs(spark, sf_dir).select(
+        F.lit("embedding").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("cosine").alias("value"),
+    )
+    return sim.unionByName(emb)
 
 
 def q_mm_binary_meta(spark, sf_dir):
@@ -1015,15 +1097,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_cluster_rollup": q_a3_cluster_rollup,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_span_dedup": q_ngram_span_dedup,
+        "url_canonicalize": q_url_canonicalize,
         "text_quality": q_text_quality,
         "lang_id_heuristic": q_lang_id,
         "text_tokens_fingerprint": q_text_tokens_fingerprint,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        # simhash/embedding near-dup and lsh/ivf ANN ride method-tagged
+        # merged entries: the driver records at most 50 queries, and the
+        # two web-dedup additions (ngram_span_dedup, url_canonicalize)
+        # would otherwise push two green rows off the artifact
+        "near_dup_sim_emb_pairs": q_near_dup_sim_emb_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_ivf_topk": q_ann_lsh_ivf_topk,
         "mm_binary_meta": q_mm_binary_meta,
         "mm_audio_meta": q_mm_audio_meta,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1205,6 +1291,80 @@ def oracle_sql() -> dict[str, str]:
               USING (doc_id)
         """,
         # mirrors the hot-shingle cap (max_posting_size=64): shingles in
+        # span marking groups on the gram STRING where the engine groups
+        # on xxhash64(gram) — identical results unless the engine hits a
+        # 64-bit collision, which the hash gate would then expose
+        "ngram_span_dedup": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents
+            ),
+            g AS (
+              SELECT t.doc_id, i - 1 AS pos,
+                     array_to_string(w[i : i + 4], ' ') AS gram
+              FROM t, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS r(i)
+            ),
+            c AS (
+              SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs
+              FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT g.doc_id, g.pos::BIGINT AS pos, c.n_docs
+            FROM g JOIN c USING (gram)
+        """,
+        # same URL-construction CASE arms and the same canonicalization
+        # contract as functions/urls.py (rules listed in its docstring)
+        "url_canonicalize": r"""
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 11 = 0
+                     THEN 'plain text ' || CAST(doc_id AS VARCHAR)
+                     ELSE
+                  CASE doc_id % 4 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https'
+                                  WHEN 2 THEN 'HTTP' ELSE 'http' END
+                  || '://WWW.' || source || '.Example.COM'
+                  || CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END
+                  || CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/' WHEN 2 THEN '/A/b/'
+                          ELSE '/a/' || CAST(doc_id AS VARCHAR) END
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN '?utm_source=feed&z=9&a=' || lang || '&utm_medium=x'
+                          WHEN doc_id % 7 = 0 THEN '?' ELSE '' END
+                  || CASE WHEN doc_id % 6 = 0 THEN '#sec?x' ELSE '' END
+                END AS url_raw
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, url_raw,
+                lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+                regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+                regexp_extract(url_raw, '^[^#]*\?([^#]*)', 1) AS rawquery
+              FROM u
+            ),
+            q AS (
+              SELECT doc_id, url_raw, scheme,
+                lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+                regexp_extract(hostport, ':(\d+)$', 1) AS port,
+                array_to_string(list_sort(list_filter(string_split(rawquery, '&'),
+                  x -> x <> '' AND NOT starts_with(x, 'utm_')
+                       AND NOT starts_with(x, 'fbclid=')
+                       AND NOT starts_with(x, 'gclid=')
+                       AND NOT starts_with(x, 'msclkid='))), '&') AS qcanon,
+                regexp_replace(rawpath, '/+$', '') AS stripped
+              FROM p
+            )
+            SELECT doc_id, url_raw,
+              CASE WHEN scheme = '' THEN url_raw ELSE
+                scheme || '://' || host
+                || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                                 OR (scheme = 'https' AND port = '443'))
+                        THEN ':' || port ELSE '' END
+                || CASE WHEN stripped = '' THEN '/' ELSE stripped END
+                || CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END
+              END AS url_canon
+            FROM q
+        """,
         # more than 64 docs of a block are excluded from the intersection
         # (set sizes stay full), exactly like the Spark operator
         "ngram_jaccard_pairs": f"""
@@ -1285,22 +1445,32 @@ def oracle_sql() -> dict[str, str]:
                          JOIN s sb ON c.id_b = sb.doc_id)
             SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.2
         """,
-        "simhash_near_pairs": f"""{sketch_cte},
-            m AS (SELECT doc_id, {PORT.sql_simhash60('hs')} AS sim FROM h)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
-            FROM m a JOIN m b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sim, b.sim)) <= 5
+        # method-tagged union of the two near-dup families (see the
+        # registry comment: driver caps the artifact at 50 queries)
+        "near_dup_sim_emb_pairs": f"""
+            SELECT 'simhash' AS method, id_a, id_b, value FROM (
+                {sketch_cte},
+                m AS (SELECT doc_id, {PORT.sql_simhash60('hs')} AS sim FROM h)
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       bit_count(xor(a.sim, b.sim))::DOUBLE AS value
+                FROM m a JOIN m b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.sim, b.sim)) <= 5
+            )
+            UNION ALL
+            SELECT 'embedding' AS method, id_a, id_b, value FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                    b.embedding::DOUBLE[]), 6) AS value
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) >= 0.5
+            )
         """,
-        "embedding_cosine_pairs": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                                         b.embedding::DOUBLE[]) >= 0.5
-        """,
-        "ann_ivf_topk": """
+        # method-tagged union of the two bucketed ANN variants (same
+        # 50-query-cap consolidation as near_dup_sim_emb_pairs); each
+        # branch's SQL is the variant's former standalone oracle verbatim
+        "ann_lsh_ivf_topk": """
+            SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank FROM (
             -- Replays the anchor_ids IVF semantics EXACTLY (see
             -- q_ann_ivf_topk): anchors = 8 lowest-vec_id embeddings;
             -- every vector joins the list of its round(cos,6)-argmax
@@ -1342,8 +1512,9 @@ def oracle_sql() -> dict[str, str]:
                     (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
                   FROM scored)
             SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM r WHERE rank <= 3
-        """,
-        "ann_lsh_topk": """
+            )
+            UNION ALL
+            SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank FROM (
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
                        WHERE vec_id % 100 = 0),
             scored AS (
@@ -1354,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
                     (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
                   FROM scored)
             SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM r WHERE rank <= 3
+            )
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -435,3 +435,63 @@ def survivors_from_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_i
         .select(F.col("_tid").alias(id_col))
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level exact n-gram dedup: every position where a word n-gram
+    is shared by ≥ ``min_docs`` DISTINCT documents, as ``(doc_id, pos,
+    n_docs)`` with ``pos`` the 0-based token offset of the span start.
+
+    This is the marking stage of exact-substring deduplication (the
+    Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" recipe): the pair-level operators above decide which whole
+    documents to drop, while this one locates the repeated SPANS inside
+    kept documents (boilerplate, quoted chunks, licence blocks) so a
+    downstream pass can cut them. Unrelated to ``duplicate_pairs_
+    ngram_jaccard``, which scores doc pairs, not positions.
+
+    Scale shape (100 TB): tokenize + gram-hash are native expressions
+    inside one codegen stage; the only wide exchanges are (a) a
+    partial+final groupBy on the 8-byte gram hash (map-side combine
+    collapses within-partition repeats) and (b) one equi-join of the
+    slim exploded frame (id, pos, hash — fixed-width, never the gram
+    text) against the qualified-hash set. There is NO self-join, so a
+    boilerplate gram shared by millions of documents emits exactly its
+    true span rows — linear output, no k² candidate blowup, hence no
+    posting cap needed (contrast duplicate_pairs_ngram_jaccard). A
+    cross-gram xxhash64 collision (P ≈ grams²/2⁶⁵) would merge two
+    spans' counts; the DuckDB oracle twin groups on the gram STRING, so
+    a collision at test scale is caught, not replicated.
+
+    Tokenization contract (mirrored by the oracle): lowercase, split on
+    single spaces, empty tokens dropped — documents shorter than ``n``
+    tokens contribute no spans.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    # sequence(1, 0) would count DOWN; guard short docs to an empty list
+    n_grams = F.size("_toks") - n + 1
+    grams = F.when(n_grams < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, n))),
+        )
+    )
+    ex = persist_tracked(
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(id_col, F.posexplode(grams).alias("pos", "_gh"))
+        .select(id_col, F.col("pos").cast("long").alias("pos"), "_gh")
+    )
+    qualified = (
+        ex.groupBy("_gh")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return ex.join(qualified, "_gh").select(id_col, "pos", "n_docs")

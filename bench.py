@@ -336,6 +336,8 @@ def main() -> None:
         "q3_top_revenue_orders",
         "j3_fuzzy_scored_pairs",
         "ngram_jaccard_pairs",
+        "ngram_span_dedup",
+        "url_canonicalize",
         "minhash_lsh_pairs",
         "dedup_exact",
         "text_quality",

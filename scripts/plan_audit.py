@@ -75,15 +75,26 @@ CHECKS = {
         "forbid": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
         "note": "portable sketch is fully native (md5/conv/decimal exprs, zero Python); bucket join is equi-join",
     },
-    "simhash_near_pairs": {
+    "near_dup_sim_emb_pairs": {
         "expect": ["md5"],
         "forbid": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
-        "note": "native 60-bit simhash; band bucket equi-join, hamming filter JVM-side",
+        "note": "simhash branch: native 60-bit simhash, band bucket equi-join, hamming filter JVM-side; embedding branch: hyperplane-LSH bucket equi-join — no cross join in either",
     },
     "ngram_jaccard_pairs": {
         "expect": ["ArrowEvalPython", "HashAggregate"],
         "forbid": ["BatchEvalPython", "CartesianProduct"],
         "note": "shingle UDF Arrow-batched; inverted-index equi-join with hot-shingle anti-join cap",
+    },
+    "ngram_span_dedup": {
+        "expect": ["xxhash64", "HashAggregate"],
+        "forbid": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                   "BroadcastNestedLoopJoin"],
+        "note": "tokenize+gram-hash fully native; partial+final agg on the 8-byte gram hash; one slim equi-join, no self-join so no posting cap needed",
+    },
+    "url_canonicalize": {
+        "expect": ["Project"],
+        "forbid": ["BatchEvalPython", "ArrowEvalPython", "Exchange"],
+        "note": "canonicalization is one narrow zero-shuffle projection inside codegen — no UDF, no exchange",
     },
     "s6_column_mapping": {
         "expect": ["ReadSchema: struct<event_id:bigint,user_id:bigint,value:double>"],
@@ -115,15 +126,10 @@ CHECKS = {
         "forbid": ["BatchEvalPython"],
         "note": "brute-force baseline broadcasts the (small) query side by design",
     },
-    "ann_lsh_topk": {
+    "ann_lsh_ivf_topk": {
         "expect": ["ArrowEvalPython"],
         "forbid": ["BatchEvalPython", "CartesianProduct"],
-        "note": "LSH path replaces the cross join with a bucket equi-join",
-    },
-    "ann_ivf_topk": {
-        "expect": ["ArrowEvalPython"],
-        "forbid": ["BatchEvalPython", "CartesianProduct"],
-        "note": "IVF list assignment Arrow-batched; candidates via list_id equi-join",
+        "note": "LSH branch replaces the cross join with a bucket equi-join; IVF branch assigns lists Arrow-batched, candidates via list_id equi-join",
     },
     "charts_top_relationships": {
         "expect": ["TakeOrderedAndProject", "BroadcastHashJoin", "HashAggregate"],

@@ -182,3 +182,28 @@ def test_survivors_string_ids(spark):
     pairs = spark.createDataFrame([("doc-1", "doc-2")], "id_a string, id_b string")
     kept = {r["doc_id"] for r in survivors_from_pairs(docs, pairs).collect()}
     assert kept == {"doc-1", "doc-9"}
+
+
+def test_ngram_spans_planted(spark):
+    """Hand-computed span marking: the shared 5-gram 'a b c d e' sits at
+    doc1:pos0, doc2:pos1, doc4:pos0 (3 docs); 'b c d e f' at doc1:pos1,
+    doc4:pos1 (2 docs — doc4 normalizes to the same tokens through the
+    double space and case fold). Doc 3 shares nothing; docs shorter than
+    n emit nothing."""
+    from ai_data_matching_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "x a b c d e y"),
+            (3, "zz yy xx ww vv"),
+            (4, "A  B c d E f"),
+            (5, "a b c"),  # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["pos"], r["n_docs"])
+        for r in duplicate_ngram_spans(docs, n=5).collect()
+    }
+    assert got == {(1, 0, 3), (1, 1, 2), (2, 1, 3), (4, 0, 3), (4, 1, 2)}
