@@ -495,3 +495,55 @@ def duplicate_ngram_spans(
         .filter(F.col("n_docs") >= min_docs)
     )
     return ex.join(qualified, "_gh").select(id_col, "pos", "n_docs")
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """The cut stage of exact-substring dedup: apply a
+    ``duplicate_ngram_spans`` result (same ``n``!) by dropping every
+    token covered by a marked gram and re-joining the rest — returns
+    ``docs`` with ``text`` replaced by the cleaned string (possibly
+    empty) plus ``n_tokens_cut``.
+
+    The cut operates on the SAME normalized token stream the grams were
+    computed on (lowercase, single-space split, empties dropped), so the
+    output is normalized text — which is what a training-data pipeline
+    feeds the tokenizer anyway; original casing/whitespace is not
+    reconstructed. Documents with no marked span pass through with their
+    normalized text and n_tokens_cut = 0.
+
+    Scale shape: one groupBy of the (slim) span frame per doc and one
+    join back to docs; the coverage expansion + token filter are native
+    higher-order functions in codegen — no UDF, no self-join.
+    """
+    starts = spans.groupBy(F.col(id_col)).agg(
+        F.collect_list("pos").alias("_starts")
+    )
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform("_starts", lambda s: F.sequence(s, s + F.lit(n - 1)))
+        )
+    )
+    with_cov = (
+        docs.join(starts, id_col, "left")
+        .withColumn("_starts", F.coalesce("_starts", F.array().cast("array<bigint>")))
+        .withColumn("_toks", toks)
+        .withColumn("_cov", cov)
+    )
+    kept = F.filter(
+        "_toks",
+        lambda x, i: ~F.exists("_cov", lambda c: c == i.cast("long")),
+    )
+    out = with_cov.withColumn("_kept", kept).withColumn(
+        "n_tokens_cut", (F.size("_toks") - F.size("_kept")).cast("long")
+    )
+    keep_cols = [c for c in docs.columns if c != text_col]
+    return out.select(
+        *keep_cols, F.array_join("_kept", " ").alias(text_col), "n_tokens_cut"
+    )

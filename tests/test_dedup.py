@@ -207,3 +207,37 @@ def test_ngram_spans_planted(spark):
         for r in duplicate_ngram_spans(docs, n=5).collect()
     }
     assert got == {(1, 0, 3), (1, 1, 2), (2, 1, 3), (4, 0, 3), (4, 1, 2)}
+
+
+def test_cut_duplicate_spans_planted(spark):
+    """Cut stage applied to the planted span marking: doc1 keeps only the
+    token after its two overlapping covered spans, doc2 keeps its unique
+    prefix/suffix tokens, doc3 (no spans) and doc5 (< n tokens) pass
+    through normalized, doc4 is cut to empty."""
+    from ai_data_matching_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_ngram_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "x a b c d e y"),
+            (3, "zz yy xx ww vv"),
+            (4, "A  B c d E f"),
+            (5, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_ngram_spans(docs, n=5)
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_cut"])
+        for r in cut_duplicate_spans(docs, spans, n=5).collect()
+    }
+    assert got == {
+        1: ("g", 6),
+        2: ("x y", 5),
+        3: ("zz yy xx ww vv", 0),
+        4: ("", 6),
+        5: ("a b c", 0),
+    }
