@@ -113,3 +113,76 @@ def doc_fingerprint(text: Column, shingle_k: int = 3) -> Column:
     MinHash) — stable under reordering-free edits, cheap rolling id."""
     sh = word_shingles(tokens_col(text), k=shingle_k)
     return F.coalesce(F.array_min(F.transform(sh, lambda s: F.xxhash64(s))), F.lit(0).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (the Gopher-rule family, Rae et al. 2021 §A1.1) —
+# within-document repetition is the single strongest public heuristic for
+# machine-generated/boilerplate web text. All native higher-order
+# expressions; each is O(units²) within one document, so callers cap the
+# unit count (``max_units``) — the published rules read the whole doc,
+# but at 100 TB a pathological 10M-token doc must not quadratic-blow a
+# task, and the signal saturates long before the cap.
+# ---------------------------------------------------------------------------
+
+
+def _occurrences(arr: Column, x: Column) -> Column:
+    return F.size(F.filter(arr, lambda y: y == x))
+
+
+def dup_line_char_frac(text: Column, sep: str = "\n", max_units: int = 2000) -> Column:
+    """Fraction of characters that sit in duplicated lines: total length
+    of line instances whose exact value occurs ≥2× in the document,
+    over total length of all lines (separators excluded; empty lines
+    ignored). 0.0 for texts with no (non-empty) lines."""
+    lines = F.slice(
+        F.filter(F.split(text, sep), lambda x: x != ""), 1, max_units
+    )
+    dup_chars = F.aggregate(
+        F.filter(lines, lambda x: _occurrences(lines, x) >= 2),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    total = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+
+
+def top_ngram_char_frac(text: Column, n: int = 2, max_units: int = 2000) -> Column:
+    """Fraction of characters covered by the single most frequent word
+    n-gram: occurrences × n-gram length over total text length (the
+    Gopher "top n-gram" rule). Ties resolve to the maximal coverage
+    value, which is what the rule thresholds on. 0.0 when the document
+    has fewer than ``n`` tokens."""
+    toks = F.slice(tokens_col(text), 1, max_units)
+    k = F.size(toks) - n + 1
+    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    coverage = F.array_max(
+        F.transform(grams, lambda g: _occurrences(grams, g) * F.length(g))
+    )
+    total = F.length(text)
+    return F.when(
+        (F.size(grams) > 0) & (total > 0), coverage / total
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_word_frac(text: Column, n: int = 5, max_units: int = 2000) -> Column:
+    """Fraction of n-gram instances that are within-document repeats
+    (value occurs ≥2×) — the Gopher "duplicate n-grams" rule shape. 0.0
+    when the document has fewer than ``n`` tokens."""
+    toks = F.slice(tokens_col(text), 1, max_units)
+    k = F.size(toks) - n + 1
+    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    dup = F.size(F.filter(grams, lambda g: _occurrences(grams, g) >= 2))
+    return F.when(F.size(grams) > 0, dup / F.size(grams)).otherwise(F.lit(0.0))

@@ -91,3 +91,69 @@ def test_marker_count_adjacent_repeats(spark):
     ).collect()
     assert got[0]["n"] == 3 and got[0]["r"] == 1.0
     assert got[1]["n"] == 3 and got[1]["r"] == 0.75
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher-family repetition rules on crafted docs.
+
+    Doc A 'x\\ny\\nx\\nzz': dup lines = both 'x' instances (2 chars) over
+    total 1+1+1+2=5 -> 0.4. Doc B no dups -> 0.0; empty doc -> 0.0.
+    Top-bigram on 'a b a b a' (len 9): bigrams [ab,ba,ab,ba], top
+    coverage 2*3=6 -> 6/9. dup-5gram on 'a b c d e a b c d e a b c d e'
+    (len 29, 11 grams): the repeated values are the 5-cycle's 5 distinct
+    gram strings, each occurring 2-3x, so ALL 11 instances repeat -> 1.0;
+    'a b c d e f' (2 distinct grams... actually 2 grams, both unique)
+    -> 0.0."""
+    from pyspark.sql import functions as F
+
+    from ai_data_matching_spark.functions.text import (
+        dup_line_char_frac,
+        dup_ngram_word_frac,
+        top_ngram_char_frac,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "x\ny\nx\nzz"),
+            (2, "a\nb"),
+            (3, ""),
+            (4, "a b a b a"),
+            (5, "a b c d e a b c d e a b c d e"),
+            (6, "a b c d e f"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["l"], r["g2"], r["g5"])
+        for r in df.select(
+            "id",
+            F.round(dup_line_char_frac(F.col("text")), 6).alias("l"),
+            F.round(top_ngram_char_frac(F.col("text"), n=2), 6).alias("g2"),
+            F.round(dup_ngram_word_frac(F.col("text"), n=5), 6).alias("g5"),
+        ).collect()
+    }
+    assert out[1][0] == 0.4
+    assert out[2][0] == 0.0 and out[3] == (0.0, 0.0, 0.0)
+    assert out[4][1] == round(6 / 9, 6)
+    assert out[5][2] == 1.0
+    assert out[6][2] == 0.0
+
+
+def test_repetition_signals_max_units_cap(spark):
+    """The quadratic window is bounded: a doc with its repetition beyond
+    the cap reads as clean under the capped slice, and the cap keeps the
+    expression cheap on adversarially long docs (contract, not a bug —
+    the signal is about the document's head at production thresholds)."""
+    from pyspark.sql import functions as F
+
+    from ai_data_matching_spark.functions.text import dup_ngram_word_frac
+
+    text = " ".join(str(i) for i in range(40)) + " q w e r t q w e r t"
+    df = spark.createDataFrame([(text,)], "text string")
+    capped = df.select(
+        F.round(dup_ngram_word_frac(F.col("text"), n=5, max_units=40), 6).alias("v")
+    ).collect()[0]["v"]
+    full = df.select(
+        F.round(dup_ngram_word_frac(F.col("text"), n=5), 6).alias("v")
+    ).collect()[0]["v"]
+    assert capped == 0.0 and full > 0.0
