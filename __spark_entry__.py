@@ -1339,7 +1339,7 @@ def oracle_sql() -> dict[str, str]:
                 lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                 regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
                 regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-                regexp_extract(url_raw, '^[^#]*\?([^#]*)', 1) AS rawquery
+                regexp_extract(url_raw, '^[^#?]*\?([^#]*)', 1) AS rawquery
               FROM u
             ),
             q AS (

@@ -28,8 +28,9 @@ Canonicalization contract (mirrored byte-for-byte by the DuckDB twin in
   (never NULLed — callers decide how to treat non-URLs)
 
 Deliberately out of scope (kept verbatim): userinfo (``user@host``),
-percent-encoding normalization, IDN/punycode, param-value re-ordering
-inside one key (``a=2&a=1`` keeps both, sorted as strings).
+bracketed-IPv6 / multi-colon netlocs, percent-encoding normalization,
+IDN/punycode, param-value re-ordering inside one key (``a=2&a=1``
+keeps both, sorted as strings).
 """
 
 from __future__ import annotations
@@ -44,10 +45,13 @@ TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=")
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-# query sits strictly between the first pre-fragment '?' and the
-# fragment: '[^#]*\?' refuses to match a '?' that only occurs inside
-# the fragment ('#sec?x' has no query)
-_QUERY_RE = r"^[^#]*\?([^#]*)"
+# query sits strictly between the FIRST pre-fragment '?' and the
+# fragment. The prefix class excludes both '#' and '?': with only '#'
+# excluded the greedy prefix binds \? to the LAST pre-fragment '?',
+# silently dropping everything between the first and last '?' of a
+# query whose VALUES legally contain '?' (RFC 3986 allows it) — caught
+# by the property test against the pure-Python twin.
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def _col(url) -> Column:
