@@ -241,3 +241,56 @@ def test_cut_duplicate_spans_planted(spark):
         4: ("", 6),
         5: ("a b c", 0),
     }
+
+
+def test_ngram_spans_and_cut_match_python_twin(spark):
+    """Random small corpora (seeded, tiny vocab to force collisions):
+    duplicate_ngram_spans and cut_duplicate_spans must match a plain
+    dict/list Python recomputation of the same contract — marking =
+    every position whose n-gram value occurs in >=2 distinct docs; cut =
+    drop tokens covered by any marked gram, join with single spaces."""
+    import random
+
+    from ai_data_matching_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_ngram_spans,
+    )
+
+    rng = random.Random(42)
+    n = 3
+    docs = [
+        (i, " ".join(rng.choice("a b c d".split()) for _ in range(rng.randint(0, 9))))
+        for i in range(40)
+    ]
+
+    # python twin
+    toks = {i: [t for t in txt.lower().split(" ") if t] for i, txt in docs}
+    where = {}
+    for i, w in toks.items():
+        for p in range(len(w) - n + 1):
+            where.setdefault(tuple(w[p : p + n]), []).append((i, p))
+    marked = {g: occ for g, occ in where.items() if len({d for d, _ in occ}) >= 2}
+    want_spans = {
+        (d, p, len({x for x, _ in occ})) for g, occ in marked.items() for d, p in occ
+    }
+    cov = {}
+    for g, occ in marked.items():
+        for d, p in occ:
+            cov.setdefault(d, set()).update(range(p, p + n))
+    want_cut = {
+        i: (
+            " ".join(t for j, t in enumerate(w) if j not in cov.get(i, set())),
+            len(cov.get(i, set()) & set(range(len(w)))),
+        )
+        for i, w in toks.items()
+    }
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = duplicate_ngram_spans(df, n=n)
+    got_spans = {(r["doc_id"], r["pos"], r["n_docs"]) for r in spans.collect()}
+    assert got_spans == want_spans
+    got_cut = {
+        r["doc_id"]: (r["text"], r["n_tokens_cut"])
+        for r in cut_duplicate_spans(df, spans, n=n).collect()
+    }
+    assert got_cut == want_cut
