@@ -258,9 +258,17 @@ def pairwise_f1(assigned: DataFrame, labeled_pairs: DataFrame) -> dict[str, floa
         F.sum(F.when((F.col("c_a") == F.col("c_b")) & F.col("label"), 1).otherwise(0)).alias("tp"),
         F.sum(F.when((F.col("c_a") == F.col("c_b")) & ~F.col("label"), 1).otherwise(0)).alias("fp"),
         F.sum(F.when((F.col("c_a") != F.col("c_b")) & F.col("label"), 1).otherwise(0)).alias("fn"),
+        F.count("*").alias("n_evaluated"),
     ).collect()[0]
-    tp, fp, fn = int(agg["tp"]), int(agg["fp"]), int(agg["fn"])
+    tp, fp, fn = int(agg["tp"] or 0), int(agg["fp"] or 0), int(agg["fn"] or 0)
     precision = tp / (tp + fp) if tp + fp else 1.0
     recall = tp / (tp + fn) if tp + fn else 1.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
-    return {"precision": precision, "recall": recall, "f1": f1, "tp": tp, "fp": fp, "fn": fn}
+    # n_evaluated guards against a VACUOUS 1.0: if a url-format drift ever
+    # empties the label join, tp=fp=fn=0 and the zero-guards above read as
+    # perfect — callers asserting F1 must also assert n_evaluated covers
+    # their label set (tests do; bench reports it in-band).
+    return {
+        "precision": precision, "recall": recall, "f1": f1,
+        "tp": tp, "fp": fp, "fn": fn, "n_evaluated": int(agg["n_evaluated"]),
+    }

@@ -163,7 +163,11 @@ def _pipeline_run(
             from ai_data_matching_spark.synth import generate_labeled_pairs
 
             labels = generate_labeled_pairs(spark, n_pages, seed=42)
-            f1 = pairwise_f1(res.assigned, labels)["f1"]
+            m = pairwise_f1(res.assigned, labels)
+            # a 1.0 with an empty label join would be vacuous — fail the
+            # bench loudly instead of publishing it
+            assert m["n_evaluated"] > 0, "pairwise_f1 label join is empty"
+            f1 = m["f1"]
         release_persisted()
         spark.catalog.clearCache()
     return n, best, f1

@@ -24,6 +24,28 @@ def test_pairwise_f1_gate(result, labels_small):
     assert m["f1"] >= 0.99, m
     assert m["precision"] >= 0.99, m
     assert m["recall"] >= 0.99, m
+    # the 1.0 must not be vacuous: every labeled pair was evaluated
+    # (both urls joined an assignment) — an empty label join would pass
+    # the zero-guards above with tp=fp=fn=0
+    assert m["n_evaluated"] == labels_small.count(), m
+
+
+def test_pairwise_f1_negative_controls(result, labels_small, spark):
+    """The metric must actually move: an all-one-cluster assignment fails
+    precision (labeled non-matches co-cluster); an all-singleton
+    assignment fails recall (labeled matches split); and an assignment
+    whose urls don't join the labels reports n_evaluated == 0 instead of
+    a silent perfect score."""
+    assigned = result.assigned
+    one = assigned.withColumn("cluster_id", F.lit("all"))
+    m1 = pairwise_f1(one, labels_small)
+    assert m1["precision"] < 0.99 and m1["fp"] > 0, m1
+    singletons = assigned.withColumn("cluster_id", F.col("url"))
+    m2 = pairwise_f1(singletons, labels_small)
+    assert m2["recall"] < 0.01 and m2["fn"] > 0, m2
+    drifted = assigned.withColumn("url", F.concat(F.lit("x://"), F.col("url")))
+    m3 = pairwise_f1(drifted, labels_small)
+    assert m3["n_evaluated"] == 0 and m3["f1"] == 1.0, m3  # vacuous — caught by the guard
 
 
 def test_clusters_match_ground_truth_entities(result, pages_small):
