@@ -318,6 +318,93 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
 
 
+def q_text_quality_lang(spark, sf_dir):
+    """S2-family text quality metrics AND the language-ID heuristic in
+    ONE per-row projection over documents (50-query-cap consolidation,
+    same precedent as text_tokens_fingerprint) — every column of both
+    former standalone entries, semantics unchanged."""
+    from ai_data_matching_spark.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_id(F.col("text")).alias("pred_lang"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_gopher_quality_filter(spark, sf_dir):
+    """Composite Gopher-family keep/drop document filter (training-data
+    extra): length, word-shape, punctuation, and the three
+    within-document repetition signals fold into a first-failing-rule
+    ``reason`` + ``keep`` verdict (functions/text.gopher_quality_filter).
+    The DuckDB twin recomputes every raw signal with list lambdas and
+    replays the identical rule chain — a drift in any signal OR in rule
+    order flips reasons and breaks the value hash."""
+    from ai_data_matching_spark.functions.text import gopher_quality_filter
+    from ai_data_matching_spark.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return d.withColumn("g", gopher_quality_filter(F.col("text"))).select(
+        "doc_id", "g.*"
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (training-data extra): deterministic
+    e-mail / IPv4 / phone spans are planted on top of each document's
+    text as closed-form functions of doc_id (the synth corpus itself
+    carries no PII), then counted and masked by the native regexp rules
+    in functions/pii.py. The DuckDB twin replants the SAME spans and
+    applies RE2 twins generated from the SAME pattern constants — drift
+    in a pattern, the replacement order, or cross-engine regex semantics
+    breaks the value hash on the full redacted text."""
+    from ai_data_matching_spark.functions import pii
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    email = F.when(
+        sid % 3 == 0,
+        F.concat(
+            F.lit("contact user"),
+            sid.cast("string"),
+            F.lit("@example"),
+            (sid % 7).cast("string"),
+            F.lit(".com now"),
+        ),
+    )
+    ip = F.when(
+        sid % 4 == 0,
+        F.concat(
+            F.lit("from host "),
+            (sid % 256).cast("string"),
+            F.lit(".0.2."),
+            (sid % 250).cast("string"),
+        ),
+    )
+    phone = F.when(
+        sid % 5 == 0,
+        F.concat(
+            F.lit("call +1-555-"),
+            F.lpad((sid % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((sid % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    raw = F.concat_ws(" ", F.col("text"), email, ip, phone)
+    return d.select(
+        "doc_id",
+        pii.email_count(raw).alias("n_emails"),
+        pii.ipv4_count(raw).alias("n_ipv4"),
+        pii.phone_count(raw).alias("n_phones"),
+        pii.scrub_pii(raw).alias("redacted"),
+    )
+
+
 def q_text_tokens_fingerprint(spark, sf_dir):
     """Token counting (whitespace + BPE-ish subword estimate) AND the
     portable document fingerprint (md5-prefix 1-perm MinHash) in ONE
@@ -425,6 +512,18 @@ def q_ann_lsh_ivf_topk(spark, sf_dir):
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
     )
     return lsh.unionByName(ivf)
+
+
+def q_ann_topk_bf_lsh_ivf(spark, sf_dir):
+    """All three ANN variants in one method-tagged registry entry (the
+    50-query-cap consolidation, extended to the brute-force baseline to
+    free a slot for the round-4 training-data extras): 'bf' is the exact
+    broadcast cross-join baseline, 'lsh'/'ivf' the bucketed scale paths.
+    Each variant's own semantics and oracle SQL are unchanged."""
+    bf = q_ann_cosine_topk(spark, sf_dir).select(
+        F.lit("bf").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return bf.unionByName(q_ann_lsh_ivf_topk(spark, sf_dir))
 
 
 def q_near_dup_sim_emb_pairs(spark, sf_dir):
@@ -1099,17 +1198,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_span_dedup": q_ngram_span_dedup,
         "url_canonicalize": q_url_canonicalize,
-        "text_quality": q_text_quality,
-        "lang_id_heuristic": q_lang_id,
+        "text_quality_lang": q_text_quality_lang,
+        "gopher_quality_filter": q_gopher_quality_filter,
+        "pii_scrub": q_pii_scrub,
         "text_tokens_fingerprint": q_text_tokens_fingerprint,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        # simhash/embedding near-dup and lsh/ivf ANN ride method-tagged
-        # merged entries: the driver records at most 50 queries, and the
-        # two web-dedup additions (ngram_span_dedup, url_canonicalize)
-        # would otherwise push two green rows off the artifact
+        # simhash/embedding near-dup and bf/lsh/ivf ANN ride method-tagged
+        # merged entries, and quality+lang-id share one projection: the
+        # driver records at most 50 queries, and the training-data
+        # additions (ngram_span_dedup, url_canonicalize, pii_scrub,
+        # gopher_quality_filter) would otherwise push green rows off
+        # the artifact
         "near_dup_sim_emb_pairs": q_near_dup_sim_emb_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_ivf_topk": q_ann_lsh_ivf_topk,
+        "ann_topk_bf_lsh_ivf": q_ann_topk_bf_lsh_ivf,
         "mm_binary_meta": q_mm_binary_meta,
         "mm_audio_meta": q_mm_audio_meta,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1183,6 +1284,50 @@ def oracle_sql() -> dict[str, str]:
     de = hits(["der", "und", "die", "ist", "das"])
     fr = hits(["le", "la", "et", "les", "est"])
     es = hits(["el", "la", "que", "los", "es"])
+
+    # Gopher repetition-signal twins (functions/text.py lockstep; the
+    # same list-lambda shapes are independently re-derived and pinned at
+    # 1e-12 in tests/test_text_oracle.py). max_units=2000 slice mirrored.
+    rep_lines = "list_filter(string_split(text, chr(10)), x -> x <> '')[1:2000]"
+    sql_dup_line = f"""
+      CASE WHEN coalesce(list_sum(list_transform({rep_lines}, x -> length(x))), 0) > 0
+           THEN coalesce(list_sum(list_transform(
+                  list_filter({rep_lines},
+                    x -> len(list_filter({rep_lines}, y -> y = x)) >= 2),
+                  x -> length(x))), 0)
+                / list_sum(list_transform({rep_lines}, x -> length(x)))
+           ELSE 0.0 END"""
+    rep_toks = tokens + "[1:2000]"
+
+    def sql_grams(n: int) -> str:
+        return (
+            f"list_transform(range(1, greatest(len({rep_toks}) - {n - 1}, 0) + 1), "
+            f"i -> array_to_string(({rep_toks})[i : i + {n - 1}], ' '))"
+        )
+
+    g2, g5 = sql_grams(2), sql_grams(5)
+    sql_top2 = f"""
+      CASE WHEN len({g2}) > 0 AND length(text) > 0
+           THEN list_max(list_transform({g2},
+                  x -> len(list_filter({g2}, y -> y = x)) * length(x)))
+                / length(text)
+           ELSE 0.0 END"""
+    sql_dup5 = f"""
+      CASE WHEN len({g5}) > 0
+           THEN len(list_filter({g5}, x -> len(list_filter({g5}, y -> y = x)) >= 2))
+                / CAST(len({g5}) AS DOUBLE)
+           ELSE 0.0 END"""
+    gopher_reason = """
+      CASE WHEN n_tokens < 10 THEN 'too_short'
+           WHEN n_tokens > 100000 THEN 'too_long'
+           WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_length'
+           WHEN pr > 0.2 THEN 'punct'
+           WHEN dline > 0.3 THEN 'dup_line'
+           WHEN top2 > 0.2 THEN 'top_2gram'
+           WHEN dup5 > 0.3 THEN 'dup_5gram'
+           ELSE 'ok' END"""
+
+    from ai_data_matching_spark.functions import pii as PII
 
     return {
         "p1_normalize_text": f"SELECT doc_id, {norm} AS norm_text FROM documents",
@@ -1389,37 +1534,81 @@ def oracle_sql() -> dict[str, str]:
                   FROM p WHERE inter > 0)
             SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.02
         """,
-        "text_quality": f"""
-            WITH t AS (SELECT doc_id, text, {tokens} AS w FROM documents),
-            m AS (SELECT doc_id, text, len(w) AS n_tokens,
+        # merged twin of the two former standalone entries (registry
+        # comment: 50-query cap) — quality metrics + language ID per doc
+        "text_quality_lang": f"""
+            WITH t AS (SELECT doc_id, lang, text, {tokens} AS w FROM documents),
+            m AS (SELECT doc_id, lang, text, len(w) AS n_tokens,
                    CASE WHEN length(text) > 0 THEN
                      length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g'))::double
                        / length(text) ELSE 0.0 END AS pr,
                    CASE WHEN len(w) > 0 THEN
                      list_sum(list_transform(w, x -> length(x)))::double / len(w)
-                     ELSE 0.0 END AS mwl
+                     ELSE 0.0 END AS mwl,
+                   {en} AS s_en, {de} AS s_de, {fr} AS s_fr, {es} AS s_es
                   FROM t)
-            SELECT doc_id, n_tokens::bigint AS n_tokens,
-                   round(pr, 6) AS punct_ratio,
-                   round(mwl, 6) AS mean_word_len,
-                   round(((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0
-                                WHEN n_tokens > 0 THEN 0.3 ELSE 0.0 END)
-                        + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.2 END)
-                        + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.4 END)) / 3.0, 6) AS quality
-            FROM m
-        """,
-        "lang_id_heuristic": f"""
-            WITH sc AS (SELECT doc_id, lang,
-                          {en} AS s_en, {de} AS s_de, {fr} AS s_fr, {es} AS s_es
-                        FROM documents)
             SELECT doc_id, lang,
               CASE
                 WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
                 WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
                 WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
-                ELSE 'es' END AS pred_lang
-            FROM sc
+                ELSE 'es' END AS pred_lang,
+              n_tokens::bigint AS n_tokens,
+              round(pr, 6) AS punct_ratio,
+              round(mwl, 6) AS mean_word_len,
+              round(((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0
+                           WHEN n_tokens > 0 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.2 END)
+                   + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.4 END)) / 3.0, 6) AS quality
+            FROM m
+        """,
+        # every raw signal recomputed with list lambdas, the identical
+        # first-failing-rule chain replayed, keep derived from reason
+        "gopher_quality_filter": f"""
+            WITH m AS (SELECT doc_id,
+                   len({tokens}) AS n_tokens,
+                   CASE WHEN len({tokens}) > 0 THEN
+                     list_sum(list_transform({tokens}, x -> length(x)))::double
+                       / len({tokens}) ELSE 0.0 END AS mwl,
+                   CASE WHEN length(text) > 0 THEN
+                     length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g'))::double
+                       / length(text) ELSE 0.0 END AS pr,
+                   {sql_dup_line} AS dline,
+                   {sql_top2} AS top2,
+                   {sql_dup5} AS dup5
+                  FROM documents),
+            r AS (SELECT doc_id, n_tokens, mwl, pr, dline, top2, dup5,
+                         {gopher_reason} AS reason
+                  FROM m)
+            SELECT doc_id, n_tokens::bigint AS n_tokens,
+                   round(mwl, 6) AS mean_word_len,
+                   round(pr, 6) AS punct_ratio,
+                   round(dline, 6) AS dup_line_frac,
+                   round(top2, 6) AS top2_char_frac,
+                   round(dup5, 6) AS dup5_word_frac,
+                   reason, (reason = 'ok') AS keep
+            FROM r
+        """,
+        # PII spans replanted from the same doc_id closed form; counts +
+        # redaction via RE2 twins generated from the SAME pattern
+        # constants as the Spark side (functions/pii.py)
+        "pii_scrub": f"""
+            WITH r AS (SELECT doc_id, concat_ws(' ', text,
+                 CASE WHEN doc_id % 3 = 0 THEN 'contact user' || doc_id
+                      || '@example' || (doc_id % 7) || '.com now' END,
+                 CASE WHEN doc_id % 4 = 0 THEN 'from host ' || (doc_id % 256)
+                      || '.0.2.' || (doc_id % 250) END,
+                 CASE WHEN doc_id % 5 = 0 THEN 'call +1-555-'
+                      || lpad((doc_id % 1000)::varchar, 3, '0') || '-'
+                      || lpad((doc_id % 10000)::varchar, 4, '0') END
+               ) AS raw FROM documents)
+            SELECT doc_id,
+                   {PII.sql_count('raw', PII.EMAIL_PATTERN)} AS n_emails,
+                   {PII.sql_count('raw', PII.IPV4_PATTERN)} AS n_ipv4,
+                   {PII.sql_count('raw', PII.PHONE_PATTERN)} AS n_phones,
+                   {PII.sql_scrub('raw')} AS redacted
+            FROM r
         """,
         "text_tokens_fingerprint": f"""
             WITH t AS (SELECT doc_id, text, {tokens} AS tw, {pt_w} AS w FROM documents),
@@ -1466,10 +1655,23 @@ def oracle_sql() -> dict[str, str]:
                                              b.embedding::DOUBLE[]) >= 0.5
             )
         """,
-        # method-tagged union of the two bucketed ANN variants (same
+        # method-tagged union of all three ANN variants (same
         # 50-query-cap consolidation as near_dup_sim_emb_pairs); each
         # branch's SQL is the variant's former standalone oracle verbatim
-        "ann_lsh_ivf_topk": """
+        "ann_topk_bf_lsh_ivf": """
+            SELECT 'bf' AS method, query_id, neighbor_id, cosine, rank FROM (
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                       WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+              FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM scored)
+            SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM r WHERE rank <= 3
+            )
+            UNION ALL
             SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank FROM (
             -- Replays the anchor_ids IVF semantics EXACTLY (see
             -- q_ann_ivf_topk): anchors = 8 lowest-vec_id embeddings;
@@ -1526,18 +1728,6 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM r WHERE rank <= 3
             )
-        """,
-        "ann_cosine_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-                       WHERE vec_id % 100 = 0),
-            scored AS (
-              SELECT q.query_id, c.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
-              FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-            r AS (SELECT *, row_number() OVER
-                    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-                  FROM scored)
-            SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM r WHERE rank <= 3
         """,
         "mm_binary_meta": """
             WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h

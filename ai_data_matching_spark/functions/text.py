@@ -186,3 +186,57 @@ def dup_ngram_word_frac(text: Column, n: int = 5, max_units: int = 2000) -> Colu
     )
     dup = F.size(F.filter(grams, lambda g: _occurrences(grams, g) >= 2))
     return F.when(F.size(grams) > 0, dup / F.size(grams)).otherwise(F.lit(0.0))
+
+
+def gopher_quality_filter(
+    text: Column,
+    *,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mwl: float = 2.0,
+    max_mwl: float = 12.0,
+    max_punct: float = 0.2,
+    max_dup_line: float = 0.3,
+    max_top2: float = 0.2,
+    max_dup5: float = 0.3,
+    max_units: int = 2000,
+) -> Column:
+    """Composite keep/drop document filter — the Gopher rule family
+    (Rae et al. 2021 §A1.1) over this module's native signals, as one
+    struct column ``(n_tokens, mean_word_len, punct_ratio, dup_line_frac,
+    top2_char_frac, dup5_word_frac, reason, keep)``.
+
+    ``reason`` is the FIRST failing rule in the fixed order below (or
+    ``'ok'``); ``keep = (reason == 'ok')``. Rules compare the raw double
+    signals (the struct carries them rounded to 6 dp for reporting only),
+    and thresholds are parameters so a deployment can match the published
+    Gopher numbers exactly. Length bounds default lower than Gopher's
+    50-token floor because the rule set, not the corpus statistics, is
+    the contract under test. Still a pure per-row projection: zero
+    shuffle, zero Python at any scale."""
+    n = token_count(text)
+    mwl = mean_word_length(text)
+    pr = punct_ratio(text)
+    dline = dup_line_char_frac(text, max_units=max_units)
+    top2 = top_ngram_char_frac(text, n=2, max_units=max_units)
+    dup5 = dup_ngram_word_frac(text, n=5, max_units=max_units)
+    reason = (
+        F.when(n < min_tokens, F.lit("too_short"))
+        .when(n > max_tokens, F.lit("too_long"))
+        .when((mwl < min_mwl) | (mwl > max_mwl), F.lit("word_length"))
+        .when(pr > max_punct, F.lit("punct"))
+        .when(dline > max_dup_line, F.lit("dup_line"))
+        .when(top2 > max_top2, F.lit("top_2gram"))
+        .when(dup5 > max_dup5, F.lit("dup_5gram"))
+        .otherwise(F.lit("ok"))
+    )
+    return F.struct(
+        n.cast("long").alias("n_tokens"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(dline, 6).alias("dup_line_frac"),
+        F.round(top2, 6).alias("top2_char_frac"),
+        F.round(dup5, 6).alias("dup5_word_frac"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )

@@ -344,9 +344,10 @@ def main() -> None:
         "url_canonicalize",
         "minhash_lsh_pairs",
         "dedup_exact",
-        "text_quality",
-        "lang_id_heuristic",
-        "ann_cosine_topk",
+        "text_quality_lang",
+        "gopher_quality_filter",
+        "pii_scrub",
+        "ann_topk_bf_lsh_ivf",
         "p7_currency_convert",
         "o2_o4_top_event_first_seen",
         "mm_binary_meta",

@@ -1,0 +1,117 @@
+"""PII detection + redaction (functions/pii.py): planted-span behavior,
+DuckDB RE2 parity from the shared pattern constants, and the idempotence
+property the module docstring promises."""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ai_data_matching_spark.functions import pii
+
+CASES = [
+    # (raw, n_emails, n_ipv4, n_phones, redacted)
+    (
+        "mail me at jane.doe+spam@sub.example.org today",
+        1, 0, 0,
+        "mail me at <EMAIL> today",
+    ),
+    (
+        "server 10.0.255.3 and 192.168.1.77 are up",
+        0, 2, 0,
+        "server <IP> and <IP> are up",
+    ),
+    (
+        "call +1-555-867-5309 or +44-020-794-6000",
+        0, 0, 2,
+        "call <PHONE> or <PHONE>",
+    ),
+    (
+        "a@b.co b@c.io 1.2.3.4 +1-222-333-4444",
+        2, 1, 1,
+        "<EMAIL> <EMAIL> <IP> <PHONE>",
+    ),
+    # email host wins over the IPv4 pass (contract order)
+    ("ping root@4.example.com ok", 1, 0, 0, "ping <EMAIL> ok"),
+    # 5 dotted octets: leftmost 4 match, trailing .5 survives
+    ("addr 1.2.3.4.5 end", 0, 1, 0, "addr <IP>.5 end"),
+    # version strings with 3 octets never match
+    ("pip install pkg==1.2.3 now", 0, 0, 0, "pip install pkg==1.2.3 now"),
+    ("no pii here at all", 0, 0, 0, "no pii here at all"),
+    ("", 0, 0, 0, ""),
+]
+
+
+def _spark_rows(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, raw string"
+    )
+    out = df.select(
+        "id",
+        pii.email_count(F.col("raw")).alias("e"),
+        pii.ipv4_count(F.col("raw")).alias("i"),
+        pii.phone_count(F.col("raw")).alias("p"),
+        pii.scrub_pii(F.col("raw")).alias("red"),
+    ).collect()
+    return {r["id"]: (r["e"], r["i"], r["p"], r["red"]) for r in out}
+
+
+def test_planted_cases(spark):
+    got = _spark_rows(spark, [c[0] for c in CASES])
+    for i, (raw, e, ip, p, red) in enumerate(CASES):
+        assert got[i] == (e, ip, p, red), f"case {i!r}: {raw!r} -> {got[i]}"
+
+
+def test_duckdb_parity_on_adversarial_and_real_text(spark):
+    rng = random.Random(11)
+    frags = [
+        "x@y.zz", "a.b@c.d.ee", "not@an@email", "@nope", "tld@short.a",
+        "1.2.3.4", "12.34.56.78", "999.999.999.999", "1.2.3", "1.2.3.4.5.6",
+        "+1-234-567-8901", "+12-345-678-9012", "+1-23-456-7890", "1-555-123-4567",
+        "word", "a+b@c-d.net.", "(10.0.0.1)", "v1.2.3.4rc", "..", "@",
+    ]
+    texts = [
+        " ".join(rng.choice(frags) for _ in range(rng.randint(0, 12)))
+        for _ in range(150)
+    ]
+    texts += [
+        r["text"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text").limit(100).collect()
+    ]
+    got = _spark_rows(spark, texts)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, raw VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)]
+    )
+    want = {
+        row[0]: row[1:]
+        for row in con.execute(
+            f"""SELECT id,
+                    {pii.sql_count('raw', pii.EMAIL_PATTERN)},
+                    {pii.sql_count('raw', pii.IPV4_PATTERN)},
+                    {pii.sql_count('raw', pii.PHONE_PATTERN)},
+                    {pii.sql_scrub('raw')}
+                FROM t"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_scrub_is_idempotent(spark):
+    texts = [c[0] for c in CASES] + ["x@y.zz 1.2.3.4 +1-222-333-4444 " * 3]
+    df = spark.createDataFrame([(t,) for t in texts], "raw string")
+    rows = df.select(
+        pii.scrub_pii(F.col("raw")).alias("once"),
+        pii.scrub_pii(pii.scrub_pii(F.col("raw"))).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"]
+
+
+def test_replacement_tokens_carry_no_matchable_chars():
+    for tok in (pii.EMAIL_TOKEN, pii.IPV4_TOKEN, pii.PHONE_TOKEN):
+        assert "@" not in tok and not any(ch.isdigit() for ch in tok)

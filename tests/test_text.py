@@ -157,3 +157,55 @@ def test_repetition_signals_max_units_cap(spark):
         F.round(dup_ngram_word_frac(F.col("text"), n=5), 6).alias("v")
     ).collect()[0]["v"]
     assert capped == 0.0 and full > 0.0
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_filter — the composite keep/drop rule chain
+# ---------------------------------------------------------------------------
+
+_CYCLE10 = " ".join(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj"] * 2)
+
+_RULE_DOCS = [
+    # (text, expected reason)
+    ("ok doc " + " ".join(f"word{i}" for i in range(20)), "ok"),
+    ("too few", "too_short"),
+    (" ".join(["a"] * 12), "word_length"),  # mwl 1 < 2
+    (" ".join(["..."] * 12), "punct"),  # mwl 3 ok, punct 0.75 > 0.2
+    (
+        "foo bar baz qux quux\nfoo bar baz qux quux\nother words entirely here",
+        "dup_line",
+    ),
+    ("go go go go go go go go go go go", "top_2gram"),
+    # a 10-token cycle repeated: every 5-gram duplicates (dup5 = 1.0) but
+    # each 2-gram covers only 2*5/59 ≈ 0.17 of the chars (top2 passes)
+    (_CYCLE10, "dup_5gram"),
+]
+
+
+def test_gopher_filter_reasons(spark):
+    from ai_data_matching_spark.functions.text import gopher_quality_filter
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(_RULE_DOCS)], "id long, text string"
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", gopher_quality_filter(F.col("text")).alias("g")
+        ).select("id", "g.*").collect()
+    }
+    for i, (text, want) in enumerate(_RULE_DOCS):
+        assert rows[i]["reason"] == want, f"{text!r}: {rows[i]}"
+        assert rows[i]["keep"] == (want == "ok")
+
+
+def test_gopher_filter_custom_thresholds(spark):
+    from ai_data_matching_spark.functions.text import gopher_quality_filter
+
+    df = spark.createDataFrame([(" ".join(["tok"] * 30),)], "text string")
+    r = df.select(
+        gopher_quality_filter(
+            F.col("text"), max_tokens=20, max_dup5=1.1
+        ).alias("g")
+    ).select("g.*").collect()[0]
+    assert r["reason"] == "too_long" and not r["keep"]
