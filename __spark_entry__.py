@@ -349,8 +349,15 @@ def q_gopher_quality_filter(spark, sf_dir):
     from ai_data_matching_spark.partitioning import fan_out
 
     d = fan_out(_t(spark, sf_dir, "documents"))
-    return d.withColumn("g", gopher_quality_filter(F.col("text"))).select(
-        "doc_id", "g.*"
+    # explode-over-singleton barrier: Catalyst would otherwise inline the
+    # struct expression into EVERY extracted field (8× the signal work
+    # per row — CollapseProject undoes a plain two-step select); the
+    # Generate node materializes the struct once, field extraction is
+    # then O(1) per column
+    g = gopher_quality_filter(F.col("text"))
+    return (
+        d.select("doc_id", F.explode(F.array(g)).alias("g"))
+        .select("doc_id", "g.*")
     )
 
 

@@ -130,23 +130,55 @@ def _occurrences(arr: Column, x: Column) -> Column:
     return F.size(F.filter(arr, lambda y: y == x))
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for expression trees: evaluate ``value`` ONCE per row
+    and hand the bound result to ``body`` as a lambda variable.
+
+    Interpreted higher-order functions (everything in this section —
+    lambda HOFs run outside codegen) re-evaluate any non-lambda subtree
+    referenced inside a lambda once PER OUTER ELEMENT, so a quadratic
+    occurrence count over an inline array expression silently becomes
+    cubic in tokens — ~100× wall on real documents. Wrapping the array in
+    a single-element ``transform`` makes it a bound VALUE: references to
+    the lambda variable are O(1) lookups, restoring the advertised
+    O(units²) bound. (Catalyst's CollapseProject would undo a plain
+    two-Project split by inlining the alias, so the binding must live
+    inside the expression itself.)"""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """Word n-grams over a BOUND token array (see ``_let``)."""
+    k = F.size(toks) - n + 1
+    return F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
 def dup_line_char_frac(text: Column, sep: str = "\n", max_units: int = 2000) -> Column:
     """Fraction of characters that sit in duplicated lines: total length
     of line instances whose exact value occurs ≥2× in the document,
     over total length of all lines (separators excluded; empty lines
     ignored). 0.0 for texts with no (non-empty) lines."""
-    lines = F.slice(
+    lines_expr = F.slice(
         F.filter(F.split(text, sep), lambda x: x != ""), 1, max_units
     )
-    dup_chars = F.aggregate(
-        F.filter(lines, lambda x: _occurrences(lines, x) >= 2),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.length(x),
-    )
-    total = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+
+    def body(lines: Column) -> Column:
+        dup_chars = F.aggregate(
+            F.filter(lines, lambda x: _occurrences(lines, x) >= 2),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        )
+        total = F.aggregate(
+            lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+
+    return _let(lines_expr, body)
 
 
 def top_ngram_char_frac(text: Column, n: int = 2, max_units: int = 2000) -> Column:
@@ -155,37 +187,37 @@ def top_ngram_char_frac(text: Column, n: int = 2, max_units: int = 2000) -> Colu
     Gopher "top n-gram" rule). Ties resolve to the maximal coverage
     value, which is what the rule thresholds on. 0.0 when the document
     has fewer than ``n`` tokens."""
-    toks = F.slice(tokens_col(text), 1, max_units)
-    k = F.size(toks) - n + 1
-    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
-    coverage = F.array_max(
-        F.transform(grams, lambda g: _occurrences(grams, g) * F.length(g))
-    )
     total = F.length(text)
-    return F.when(
-        (F.size(grams) > 0) & (total > 0), coverage / total
-    ).otherwise(F.lit(0.0))
+
+    def body(toks: Column) -> Column:
+        def over_grams(grams: Column) -> Column:
+            coverage = F.array_max(
+                F.transform(grams, lambda g: _occurrences(grams, g) * F.length(g))
+            )
+            return F.when(
+                (F.size(grams) > 0) & (total > 0), coverage / total
+            ).otherwise(F.lit(0.0))
+
+        return _let(_word_grams(toks, n), over_grams)
+
+    return _let(F.slice(tokens_col(text), 1, max_units), body)
 
 
 def dup_ngram_word_frac(text: Column, n: int = 5, max_units: int = 2000) -> Column:
     """Fraction of n-gram instances that are within-document repeats
     (value occurs ≥2×) — the Gopher "duplicate n-grams" rule shape. 0.0
     when the document has fewer than ``n`` tokens."""
-    toks = F.slice(tokens_col(text), 1, max_units)
-    k = F.size(toks) - n + 1
-    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
-    dup = F.size(F.filter(grams, lambda g: _occurrences(grams, g) >= 2))
-    return F.when(F.size(grams) > 0, dup / F.size(grams)).otherwise(F.lit(0.0))
+
+    def body(toks: Column) -> Column:
+        def over_grams(grams: Column) -> Column:
+            dup = F.size(F.filter(grams, lambda g: _occurrences(grams, g) >= 2))
+            return F.when(F.size(grams) > 0, dup / F.size(grams)).otherwise(
+                F.lit(0.0)
+            )
+
+        return _let(_word_grams(toks, n), over_grams)
+
+    return _let(F.slice(tokens_col(text), 1, max_units), body)
 
 
 def gopher_quality_filter(
@@ -214,29 +246,41 @@ def gopher_quality_filter(
     50-token floor because the rule set, not the corpus statistics, is
     the contract under test. Still a pure per-row projection: zero
     shuffle, zero Python at any scale."""
-    n = token_count(text)
-    mwl = mean_word_length(text)
-    pr = punct_ratio(text)
-    dline = dup_line_char_frac(text, max_units=max_units)
-    top2 = top_ngram_char_frac(text, n=2, max_units=max_units)
-    dup5 = dup_ngram_word_frac(text, n=5, max_units=max_units)
-    reason = (
-        F.when(n < min_tokens, F.lit("too_short"))
-        .when(n > max_tokens, F.lit("too_long"))
-        .when((mwl < min_mwl) | (mwl > max_mwl), F.lit("word_length"))
-        .when(pr > max_punct, F.lit("punct"))
-        .when(dline > max_dup_line, F.lit("dup_line"))
-        .when(top2 > max_top2, F.lit("top_2gram"))
-        .when(dup5 > max_dup5, F.lit("dup_5gram"))
-        .otherwise(F.lit("ok"))
+    # every signal is let-bound (see ``_let``) so ONE evaluation of the
+    # returned struct costs O(max_units²) cheap comparisons — a caller
+    # expanding the struct with ``g.*`` still duplicates the tree per
+    # field, but each copy stays cheap
+    signals = F.struct(
+        token_count(text).cast("long").alias("n"),
+        mean_word_length(text).alias("mwl"),
+        punct_ratio(text).alias("pr"),
+        dup_line_char_frac(text, max_units=max_units).alias("dline"),
+        top_ngram_char_frac(text, n=2, max_units=max_units).alias("top2"),
+        dup_ngram_word_frac(text, n=5, max_units=max_units).alias("dup5"),
     )
-    return F.struct(
-        n.cast("long").alias("n_tokens"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        F.round(pr, 6).alias("punct_ratio"),
-        F.round(dline, 6).alias("dup_line_frac"),
-        F.round(top2, 6).alias("top2_char_frac"),
-        F.round(dup5, 6).alias("dup5_word_frac"),
-        reason.alias("reason"),
-        (reason == "ok").alias("keep"),
-    )
+
+    def body(s: Column) -> Column:
+        n, mwl, pr = s["n"], s["mwl"], s["pr"]
+        dline, top2, dup5 = s["dline"], s["top2"], s["dup5"]
+        reason = (
+            F.when(n < min_tokens, F.lit("too_short"))
+            .when(n > max_tokens, F.lit("too_long"))
+            .when((mwl < min_mwl) | (mwl > max_mwl), F.lit("word_length"))
+            .when(pr > max_punct, F.lit("punct"))
+            .when(dline > max_dup_line, F.lit("dup_line"))
+            .when(top2 > max_top2, F.lit("top_2gram"))
+            .when(dup5 > max_dup5, F.lit("dup_5gram"))
+            .otherwise(F.lit("ok"))
+        )
+        return F.struct(
+            n.alias("n_tokens"),
+            F.round(mwl, 6).alias("mean_word_len"),
+            F.round(pr, 6).alias("punct_ratio"),
+            F.round(dline, 6).alias("dup_line_frac"),
+            F.round(top2, 6).alias("top2_char_frac"),
+            F.round(dup5, 6).alias("dup5_word_frac"),
+            reason.alias("reason"),
+            (reason == "ok").alias("keep"),
+        )
+
+    return _let(signals, body)

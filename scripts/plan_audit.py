@@ -132,7 +132,7 @@ CHECKS = {
         "note": "regexp count+mask is one narrow zero-shuffle projection inside codegen — no UDF, no exchange",
     },
     "gopher_quality_filter": {
-        "expect": ["Project"],
+        "expect": ["Project", "Generate"],  # explode barrier: struct computed once, fields O(1)
         # the pruned-scan evidence must tolerate suite ordering: when a
         # sibling test has the same documents parquet cached, Catalyst
         # plan-matches the scan to the InMemoryRelation instead

@@ -50,7 +50,12 @@ def foreground_busy() -> bool:
     """True when an interactive heavy job (tests, oracle check, bench,
     profile) is running OUTSIDE this supervisor — the bandwidth probe can
     read quiet while the CPUs are loaded with Spark work, and a capture
-    fired into that would both pollute and be polluted."""
+    fired into that would both pollute and be polluted.
+
+    Two signals, because the r04j capture proved the name filter alone is
+    not enough (an AD-HOC foreground Spark script matched no pattern and
+    the capture launched straight into it): known heavy job names, OR the
+    1-min load average above a threshold a quiet box never reaches."""
     out = subprocess.run(
         ["pgrep", "-f", "pytest|bench\\.py|check_oracle|profile_incremental"],
         capture_output=True,
@@ -58,7 +63,9 @@ def foreground_busy() -> bool:
         check=False,
     ).stdout.split()
     me = str(os.getpid())
-    return any(pid != me for pid in out)
+    if any(pid != me for pid in out):
+        return True
+    return os.getloadavg()[0] > 2.0
 
 
 # the documented [log_suffix] argument names the bench artifact, so a
