@@ -70,8 +70,10 @@ def main() -> None:
         pii.phone_count(F.col("text")).alias("n_phones"),
         pii.scrub_pii(F.col("text")).alias("redacted"),
     )
+    # explode-over-singleton barrier, same as the contract query: the
+    # struct is computed once per row, field extraction is O(1)
     gq = pages.select(
-        "url", gopher_quality_filter(F.col("text")).alias("g")
+        "url", F.explode(F.array(gopher_quality_filter(F.col("text")))).alias("g")
     ).select("url", "g.*")
 
     for name, df in [("pii_scrub", pii_df), ("gopher_filter", gq)]:
