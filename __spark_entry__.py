@@ -298,26 +298,6 @@ def q_url_canonicalize(spark, sf_dir):
     return d.select("doc_id", url.alias("url_raw"), canonical_url(url).alias("url_canon"))
 
 
-def q_text_quality(spark, sf_dir):
-    from ai_data_matching_spark.partitioning import fan_out
-
-    d = fan_out(_t(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id",
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
-        quality_score(F.col("text")).alias("quality"),
-    )
-
-
-def q_lang_id(spark, sf_dir):
-    from ai_data_matching_spark.partitioning import fan_out
-
-    d = fan_out(_t(spark, sf_dir, "documents"))
-    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
-
-
 def q_text_quality_lang(spark, sf_dir):
     """S2-family text quality metrics AND the language-ID heuristic in
     ONE per-row projection over documents (50-query-cap consolidation,
@@ -403,12 +383,10 @@ def q_pii_scrub(spark, sf_dir):
         ),
     )
     raw = F.concat_ws(" ", F.col("text"), email, ip, phone)
-    return d.select(
-        "doc_id",
-        pii.email_count(raw).alias("n_emails"),
-        pii.ipv4_count(raw).alias("n_ipv4"),
-        pii.phone_count(raw).alias("n_phones"),
-        pii.scrub_pii(raw).alias("redacted"),
+    # pii_profile: counts staged after prior rules' replacements, so each
+    # count equals that category's token occurrences in `redacted`
+    return d.select("doc_id", pii.pii_profile(raw).alias("p")).select(
+        "doc_id", "p.*"
     )
 
 
@@ -1295,15 +1273,12 @@ def oracle_sql() -> dict[str, str]:
     # Gopher repetition-signal twins (functions/text.py lockstep; the
     # same list-lambda shapes are independently re-derived and pinned at
     # 1e-12 in tests/test_text_oracle.py). max_units=2000 slice mirrored.
+    # lines/g2/g5 are BOUND as columns of a MATERIALIZED CTE and the
+    # per-element lambdas reference the column — the inline form re-built
+    # the list (from a re-split of text) once per outer element, the same
+    # cubic trap the Spark side closes with functions/text._let
+    # (measured: 42.9 s → sub-second for 500 docs).
     rep_lines = "list_filter(string_split(text, chr(10)), x -> x <> '')[1:2000]"
-    sql_dup_line = f"""
-      CASE WHEN coalesce(list_sum(list_transform({rep_lines}, x -> length(x))), 0) > 0
-           THEN coalesce(list_sum(list_transform(
-                  list_filter({rep_lines},
-                    x -> len(list_filter({rep_lines}, y -> y = x)) >= 2),
-                  x -> length(x))), 0)
-                / list_sum(list_transform({rep_lines}, x -> length(x)))
-           ELSE 0.0 END"""
     rep_toks = tokens + "[1:2000]"
 
     def sql_grams(n: int) -> str:
@@ -1312,17 +1287,24 @@ def oracle_sql() -> dict[str, str]:
             f"i -> array_to_string(({rep_toks})[i : i + {n - 1}], ' '))"
         )
 
-    g2, g5 = sql_grams(2), sql_grams(5)
-    sql_top2 = f"""
-      CASE WHEN len({g2}) > 0 AND length(text) > 0
-           THEN list_max(list_transform({g2},
-                  x -> len(list_filter({g2}, y -> y = x)) * length(x)))
+    sql_dup_line = """
+      CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+           THEN coalesce(list_sum(list_transform(
+                  list_filter(lines,
+                    x -> len(list_filter(lines, y -> y = x)) >= 2),
+                  x -> length(x))), 0)
+                / list_sum(list_transform(lines, x -> length(x)))
+           ELSE 0.0 END"""
+    sql_top2 = """
+      CASE WHEN len(g2) > 0 AND length(text) > 0
+           THEN list_max(list_transform(g2,
+                  x -> len(list_filter(g2, y -> y = x)) * length(x)))
                 / length(text)
            ELSE 0.0 END"""
-    sql_dup5 = f"""
-      CASE WHEN len({g5}) > 0
-           THEN len(list_filter({g5}, x -> len(list_filter({g5}, y -> y = x)) >= 2))
-                / CAST(len({g5}) AS DOUBLE)
+    sql_dup5 = """
+      CASE WHEN len(g5) > 0
+           THEN len(list_filter(g5, x -> len(list_filter(g5, y -> y = x)) >= 2))
+                / CAST(len(g5) AS DOUBLE)
            ELSE 0.0 END"""
     gopher_reason = """
       CASE WHEN n_tokens < 10 THEN 'too_short'
@@ -1573,18 +1555,24 @@ def oracle_sql() -> dict[str, str]:
         # every raw signal recomputed with list lambdas, the identical
         # first-failing-rule chain replayed, keep derived from reason
         "gopher_quality_filter": f"""
-            WITH m AS (SELECT doc_id,
-                   len({tokens}) AS n_tokens,
-                   CASE WHEN len({tokens}) > 0 THEN
-                     list_sum(list_transform({tokens}, x -> length(x)))::double
-                       / len({tokens}) ELSE 0.0 END AS mwl,
+            WITH b AS MATERIALIZED (
+              SELECT doc_id, text, {tokens} AS w,
+                     {rep_lines} AS lines,
+                     {sql_grams(2)} AS g2,
+                     {sql_grams(5)} AS g5
+              FROM documents),
+            m AS (SELECT doc_id,
+                   len(w) AS n_tokens,
+                   CASE WHEN len(w) > 0 THEN
+                     list_sum(list_transform(w, x -> length(x)))::double
+                       / len(w) ELSE 0.0 END AS mwl,
                    CASE WHEN length(text) > 0 THEN
                      length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g'))::double
                        / length(text) ELSE 0.0 END AS pr,
                    {sql_dup_line} AS dline,
                    {sql_top2} AS top2,
                    {sql_dup5} AS dup5
-                  FROM documents),
+                  FROM b),
             r AS (SELECT doc_id, n_tokens, mwl, pr, dline, top2, dup5,
                          {gopher_reason} AS reason
                   FROM m)
@@ -1611,10 +1599,10 @@ def oracle_sql() -> dict[str, str]:
                       || lpad((doc_id % 10000)::varchar, 4, '0') END
                ) AS raw FROM documents)
             SELECT doc_id,
-                   {PII.sql_count('raw', PII.EMAIL_PATTERN)} AS n_emails,
-                   {PII.sql_count('raw', PII.IPV4_PATTERN)} AS n_ipv4,
-                   {PII.sql_count('raw', PII.PHONE_PATTERN)} AS n_phones,
-                   {PII.sql_scrub('raw')} AS redacted
+                   {PII.sql_profile('raw')['n_emails']} AS n_emails,
+                   {PII.sql_profile('raw')['n_ipv4']} AS n_ipv4,
+                   {PII.sql_profile('raw')['n_phones']} AS n_phones,
+                   {PII.sql_profile('raw')['redacted']} AS redacted
             FROM r
         """,
         "text_tokens_fingerprint": f"""

@@ -64,6 +64,27 @@ def scrub_pii(text: Column) -> Column:
     return out
 
 
+def pii_profile(text: Column) -> Column:
+    """Counts + masked text as ONE consistent struct ``(n_emails,
+    n_ipv4, n_phones, redacted)``.
+
+    Each category is counted on the text AS THE SCRUB SEES IT — after
+    the previous rules' replacements — so every count equals the number
+    of that category's tokens in ``redacted`` (an e-mail with an
+    IPv4-shaped host, ``a@1.2.3.4.com``, counts one e-mail and ZERO
+    IPv4s; independent raw-text counts would report a span the redaction
+    never masks). Property-tested: n_X == occurrences of the X token in
+    the output."""
+    after_email = F.regexp_replace(text, EMAIL_PATTERN, EMAIL_TOKEN)
+    after_ipv4 = F.regexp_replace(after_email, IPV4_PATTERN, IPV4_TOKEN)
+    return F.struct(
+        email_count(text).alias("n_emails"),
+        ipv4_count(after_email).alias("n_ipv4"),
+        phone_count(after_ipv4).alias("n_phones"),
+        F.regexp_replace(after_ipv4, PHONE_PATTERN, PHONE_TOKEN).alias("redacted"),
+    )
+
+
 # -- DuckDB oracle twins (generated from the SAME constants) ----------------
 
 
@@ -80,3 +101,23 @@ def sql_scrub(expr: str) -> str:
     for pattern, token in _RULES:
         out = f"regexp_replace({out}, '{_sql_quote(pattern)}', '{token}', 'g')"
     return out
+
+
+def sql_profile(expr: str) -> dict[str, str]:
+    """DuckDB twin of :func:`pii_profile` — one SQL expression per output
+    field, each count staged after the previous rules' replacements."""
+    after_email = (
+        f"regexp_replace({expr}, '{_sql_quote(EMAIL_PATTERN)}', '{EMAIL_TOKEN}', 'g')"
+    )
+    after_ipv4 = (
+        f"regexp_replace({after_email}, '{_sql_quote(IPV4_PATTERN)}', '{IPV4_TOKEN}', 'g')"
+    )
+    return {
+        "n_emails": sql_count(expr, EMAIL_PATTERN),
+        "n_ipv4": sql_count(after_email, IPV4_PATTERN),
+        "n_phones": sql_count(after_ipv4, PHONE_PATTERN),
+        "redacted": (
+            f"regexp_replace({after_ipv4}, '{_sql_quote(PHONE_PATTERN)}', "
+            f"'{PHONE_TOKEN}', 'g')"
+        ),
+    }

@@ -125,23 +125,11 @@ def _pipeline_run(
     # input is a TABLE (the cli.py --input contract): corpus written once
     # untimed as snappy parquet on tmpfs, every timed rep reads it — same
     # methodology as scripts/scaling_bench.py (see BENCH/BASELINE.md).
-    # Cache key covers (pages, seed, generator source hash) so an edit to
-    # generate_pages never silently reuses a stale corpus across revisions.
-    import hashlib
-    import inspect
+    # ensure_pages_table is the canonical cache recipe, shared by every
+    # benchmark harness.
+    from ai_data_matching_spark.synth import ensure_pages_table
 
-    from ai_data_matching_spark import synth
-
-    seed = 42
-    gen_tag = hashlib.md5(inspect.getsource(synth.generate_pages).encode()).hexdigest()[:10]
-    pq_dir = "/dev/shm/spark-bench" if os.path.isdir("/dev/shm") else "/tmp/spark-bench"
-    os.makedirs(pq_dir, exist_ok=True)
-    path = f"{pq_dir}/pages-{n_pages}-s{seed}-{gen_tag}.parquet"
-    if not os.path.exists(path):
-        generate_pages(spark, n_pages, seed=seed).drop("entity_id").repartition(
-            32
-        ).write.mode("overwrite").parquet(path)
-    raw = spark.read.parquet(path)
+    raw = spark.read.parquet(ensure_pages_table(spark, n_pages, seed=42))
     _materialize(run_pipeline(spark, raw.limit(2000)).assigned)  # warm-up
     release_persisted()
     spark.catalog.clearCache()

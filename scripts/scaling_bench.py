@@ -51,16 +51,13 @@ spark = build_session(
 # in-memory cache, which models nothing real and, on a shared-bus host,
 # hands the 1-core leg its input at ~zero CPU cost while the 4-core leg
 # pays the bus for 4x the byte rate — see BENCH/BASELINE.md round-3 notes.
-# cache key covers (pages, seed, generator source) — an edited generator
-# must never silently reuse a stale corpus across revisions (bench.py twin)
-import hashlib as _hl
-import inspect as _ins
-_gen_tag = _hl.md5(_ins.getsource(generate_pages).encode()).hexdigest()[:10]
-path = f"/dev/shm/spark-scaling/pages-{{n_pages}}-s42-{{_gen_tag}}.parquet"
-if not os.path.exists(path):
-    generate_pages(spark, n_pages, seed=42).drop("entity_id") \
-        .repartition(32).write.mode("overwrite").parquet(path)
-pages = spark.read.parquet(path)
+# ensure_pages_table is the canonical shared cache recipe (key covers
+# pages/seed/generator-source so an edited generator never silently
+# reuses a stale corpus); kept on this harness's own tmpfs dir
+from ai_data_matching_spark.synth import ensure_pages_table
+pages = spark.read.parquet(
+    ensure_pages_table(spark, n_pages, seed=42, base_dir="/dev/shm/spark-scaling")
+)
 
 # warm the Python worker pool + JIT outside the timed window
 run_pipeline(spark, pages.limit(2000)).assigned.write.format("noop").mode("overwrite").save()

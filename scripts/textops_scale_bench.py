@@ -13,8 +13,8 @@ foreground-busy pattern so a capture never fires into this run.)
 
 from __future__ import annotations
 
-import hashlib
-import inspect
+
+
 import json
 import os
 import sys
@@ -48,17 +48,8 @@ def main() -> None:
         extra_conf=extra,
     )
 
-    # same corpus cache key as bench.py: (pages, seed, generator source)
-    seed = 42
-    gen_tag = hashlib.md5(
-        inspect.getsource(synth.generate_pages).encode()
-    ).hexdigest()[:10]
-    path = f"{pq_dir}/pages-{n_pages}-s{seed}-{gen_tag}.parquet"
-    if not os.path.exists(path):
-        synth.generate_pages(spark, n_pages, seed=seed).drop(
-            "entity_id"
-        ).repartition(32).write.mode("overwrite").parquet(path)
-
+    # canonical shared corpus cache (same path + layout as bench.py)
+    path = synth.ensure_pages_table(spark, n_pages, seed=42, base_dir=pq_dir)
     pages = spark.read.parquet(path).select("url", "text")
     n = pages.count()
     out: dict = {"n_pages": n, "cpus": cpus}

@@ -115,3 +115,52 @@ def test_scrub_is_idempotent(spark):
 def test_replacement_tokens_carry_no_matchable_chars():
     for tok in (pii.EMAIL_TOKEN, pii.IPV4_TOKEN, pii.PHONE_TOKEN):
         assert "@" not in tok and not any(ch.isdigit() for ch in tok)
+
+
+def test_profile_counts_match_redaction_tokens(spark):
+    """pii_profile's contract: every count equals that category's token
+    occurrences in the redacted output — including the overlap cases
+    where raw-text counting would disagree (IPv4-shaped e-mail hosts,
+    phone-shaped locals)."""
+    texts = [c[0] for c in CASES] + [
+        "contact a@1.2.3.4.com now",      # email consumes the IPv4-shaped host
+        "+1-555-867-5309@x.com wins",     # email consumes the phone-shaped local
+        "a@1.2.3.4.com and 5.6.7.8 and +1-222-333-4444",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "raw string")
+    from ai_data_matching_spark.functions.pii import pii_profile
+
+    rows = df.select(pii_profile(F.col("raw")).alias("p")).select("p.*").collect()
+    for t, r in zip(texts, rows):
+        red = r["redacted"]
+        assert r["n_emails"] == red.count(pii.EMAIL_TOKEN), (t, red)
+        assert r["n_ipv4"] == red.count(pii.IPV4_TOKEN), (t, red)
+        assert r["n_phones"] == red.count(pii.PHONE_TOKEN), (t, red)
+
+
+def test_profile_matches_duckdb(spark):
+    texts = [c[0] for c in CASES] + ["a@1.2.3.4.com x 9.9.9.9 +1-111-222-3333"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, raw string"
+    )
+    from ai_data_matching_spark.functions.pii import pii_profile, sql_profile
+
+    got = {
+        r["id"]: (r["n_emails"], r["n_ipv4"], r["n_phones"], r["redacted"])
+        for r in df.select("id", pii_profile(F.col("raw")).alias("p"))
+        .select("id", "p.*").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, raw VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)]
+    )
+    prof = sql_profile("raw")
+    want = {
+        row[0]: row[1:]
+        for row in con.execute(
+            f"""SELECT id, {prof['n_emails']}, {prof['n_ipv4']},
+                       {prof['n_phones']}, {prof['redacted']} FROM t"""
+        ).fetchall()
+    }
+    assert got == want
