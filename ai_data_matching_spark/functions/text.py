@@ -130,6 +130,26 @@ def _occurrences(arr: Column, x: Column) -> Column:
     return F.size(F.filter(arr, lambda y: y == x))
 
 
+def _dup_flags(s: Column) -> Column:
+    """Per-element is-duplicated flags over a BOUND, SORTED array (see
+    ``_let``): after ``array_sort`` equal values are adjacent, so an
+    element's value occurs ≥2× in the array iff it equals a neighbor —
+    O(n) flag pass instead of the O(n²) pairwise occurrence count, with
+    identical semantics. ``F.get`` (0-based) returns NULL out of range
+    (never an ANSI error), and ``false & NULL`` is false, so the edge
+    elements need no special casing."""
+    n = F.size(s)
+    return F.when(n == 0, F.array().cast("array<boolean>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: (
+                ((j > 0) & (F.get(s, j) == F.get(s, j - 1)))
+                | ((j < n - 1) & (F.get(s, j) == F.get(s, j + 1)))
+            ),
+        )
+    )
+
+
 def _let(value: Column, body) -> Column:
     """Let-binding for expression trees: evaluate ``value`` ONCE per row
     and hand the bound result to ``body`` as a lambda variable.
@@ -168,15 +188,26 @@ def dup_line_char_frac(text: Column, sep: str = "\n", max_units: int = 2000) -> 
     )
 
     def body(lines: Column) -> Column:
-        dup_chars = F.aggregate(
-            F.filter(lines, lambda x: _occurrences(lines, x) >= 2),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.length(x),
-        )
         total = F.aggregate(
             lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         )
-        return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+
+        def over_sorted(s: Column) -> Column:
+            # sorted-neighbor duplicate detection: O(n log n), value-
+            # identical to the pairwise count (see _dup_flags)
+            dup_chars = F.aggregate(
+                F.zip_with(
+                    s, _dup_flags(s),
+                    lambda x, d: F.when(d, F.length(x).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, c: acc + c,
+            )
+            return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+
+        return _let(F.array_sort(lines), over_sorted)
 
     return _let(lines_expr, body)
 
@@ -191,11 +222,34 @@ def top_ngram_char_frac(text: Column, n: int = 2, max_units: int = 2000) -> Colu
 
     def body(toks: Column) -> Column:
         def over_grams(grams: Column) -> Column:
-            coverage = F.array_max(
-                F.transform(grams, lambda g: _occurrences(grams, g) * F.length(g))
+            # run-length max over the SORTED grams: a single O(n) fold
+            # tracks (previous value, current run, best coverage); the
+            # best is updated at every step, so a run of length k
+            # contributes k·len exactly as count(v)·len(v) does — value-
+            # identical to the pairwise form, O(n log n) total
+            best = F.aggregate(
+                F.array_sort(grams),
+                F.struct(
+                    F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"),
+                ),
+                lambda acc, x: F.struct(
+                    x.alias("prev"),
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("long"))
+                    .alias("run"),
+                    F.greatest(
+                        acc["best"],
+                        F.when(x == acc["prev"], acc["run"] + 1)
+                        .otherwise(F.lit(1).cast("long"))
+                        * F.length(x),
+                    ).alias("best"),
+                ),
+                lambda acc: acc["best"],
             )
             return F.when(
-                (F.size(grams) > 0) & (total > 0), coverage / total
+                (F.size(grams) > 0) & (total > 0), best / total
             ).otherwise(F.lit(0.0))
 
         return _let(_word_grams(toks, n), over_grams)
@@ -210,10 +264,15 @@ def dup_ngram_word_frac(text: Column, n: int = 5, max_units: int = 2000) -> Colu
 
     def body(toks: Column) -> Column:
         def over_grams(grams: Column) -> Column:
-            dup = F.size(F.filter(grams, lambda g: _occurrences(grams, g) >= 2))
-            return F.when(F.size(grams) > 0, dup / F.size(grams)).otherwise(
-                F.lit(0.0)
-            )
+            def over_sorted(s: Column) -> Column:
+                # sorted-neighbor flags (see _dup_flags): O(n log n),
+                # value-identical to the pairwise occurrence count
+                dup = F.size(F.filter(_dup_flags(s), lambda d: d))
+                return F.when(F.size(s) > 0, dup / F.size(s)).otherwise(
+                    F.lit(0.0)
+                )
+
+            return _let(F.array_sort(grams), over_sorted)
 
         return _let(_word_grams(toks, n), over_grams)
 
