@@ -475,18 +475,25 @@ def duplicate_ngram_spans(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
+    from ..functions.text import _let
+
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
-    # sequence(1, 0) would count DOWN; guard short docs to an empty list
-    n_grams = F.size("_toks") - n + 1
-    grams = F.when(n_grams < 1, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, n))),
+
+    # _let-bind the token array: a plain two-select split is undone by
+    # CollapseProject, which inlines the split+filter into the gram
+    # lambda — re-tokenizing the document once per gram position
+    def _grams(t):
+        # sequence(1, 0) would count DOWN; guard short docs to empty
+        n_grams = F.size(t) - n + 1
+        return F.when(n_grams < 1, F.array().cast("array<bigint>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, n))),
+            )
         )
-    )
+
     ex = persist_tracked(
-        docs.select(F.col(id_col), toks.alias("_toks"))
-        .select(id_col, F.posexplode(grams).alias("pos", "_gh"))
+        docs.select(F.col(id_col), F.posexplode(_let(toks, _grams)).alias("pos", "_gh"))
         .select(id_col, F.col("pos").cast("long").alias("pos"), "_gh")
     )
     qualified = (
@@ -521,29 +528,50 @@ def cut_duplicate_spans(
     join back to docs; the coverage expansion + token filter are native
     higher-order functions in codegen — no UDF, no self-join.
     """
+    from ..functions.text import _let
+
     starts = spans.groupBy(F.col(id_col)).agg(
         F.collect_list("pos").alias("_starts")
     )
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     cov = F.array_distinct(
         F.flatten(
-            F.transform("_starts", lambda s: F.sequence(s, s + F.lit(n - 1)))
+            F.transform(
+                F.coalesce("_starts", F.array().cast("array<bigint>")),
+                lambda s: F.sequence(s, s + F.lit(n - 1)),
+            )
         )
     )
-    with_cov = (
-        docs.join(starts, id_col, "left")
-        .withColumn("_starts", F.coalesce("_starts", F.array().cast("array<bigint>")))
-        .withColumn("_toks", toks)
-        .withColumn("_cov", cov)
-    )
-    kept = F.filter(
-        "_toks",
-        lambda x, i: ~F.exists("_cov", lambda c: c == i.cast("long")),
-    )
-    out = with_cov.withColumn("_kept", kept).withColumn(
-        "n_tokens_cut", (F.size("_toks") - F.size("_kept")).cast("long")
-    )
+
+    # _let-bind (toks, cov) and nest a binding for the kept array:
+    # withColumn chains collapse into one Project, which would inline the
+    # coverage expansion into the token filter's lambda (re-deriving it
+    # once per token) and re-run the filter for every output column that
+    # mentions it
+    def _apply(s):
+        kept = F.filter(
+            s["toks"],
+            lambda x, i: ~F.exists(s["cov"], lambda c: c == i.cast("long")),
+        )
+        return _let(
+            kept,
+            lambda k: F.struct(
+                F.array_join(k, " ").alias("cut_text"),
+                (F.size(s["toks"]) - F.size(k)).cast("long").alias("n_tokens_cut"),
+            ),
+        )
+
+    result = _let(F.struct(toks.alias("toks"), cov.alias("cov")), _apply)
     keep_cols = [c for c in docs.columns if c != text_col]
-    return out.select(
-        *keep_cols, F.array_join("_kept", " ").alias(text_col), "n_tokens_cut"
+    # explode-over-singleton barrier: materialize the struct once; the
+    # two field extractions are then O(1) instead of re-running the cut
+    return (
+        docs.join(starts, id_col, "left")
+        .select(*keep_cols, F.col(text_col), F.col("_starts"))
+        .select(*keep_cols, F.explode(F.array(result)).alias("_r"))
+        .select(
+            *keep_cols,
+            F.col("_r.cut_text").alias(text_col),
+            F.col("_r.n_tokens_cut").alias("n_tokens_cut"),
+        )
     )
