@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .hof import let_bound
+
 SIMHASH_BITS = 64
 
 
@@ -28,14 +30,24 @@ def tokens_col(text: Column) -> Column:
 def word_shingles(tokens: Column, k: int = 3) -> Column:
     """k-word shingles as strings; falls back to the whole token array
     joined when the doc has fewer than k tokens (so short docs still get
-    one shingle instead of none)."""
-    n = F.size(tokens)
-    shingled = F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.array_join(F.slice(tokens, i, k), " "),
-    )
-    whole = F.array(F.array_join(tokens, " "))
-    return F.when(n >= k, shingled).otherwise(F.when(n > 0, whole).otherwise(F.array().cast("array<string>")))
+    one shingle instead of none).
+
+    The token array is let-bound (functions/hof.py) — with an inline
+    ``tokens`` expression, the per-index slice lambda would re-tokenize
+    the whole document once per shingle position."""
+
+    def body(t: Column) -> Column:
+        n = F.size(t)
+        shingled = F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        )
+        whole = F.array(F.array_join(t, " "))
+        return F.when(n >= k, shingled).otherwise(
+            F.when(n > 0, whole).otherwise(F.array().cast("array<string>"))
+        )
+
+    return let_bound(tokens, body)
 
 
 def simhash64(shingles: Column) -> Column:
@@ -96,8 +108,12 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     def seeded(seed: int):
         return lambda s: F.xxhash64(s, F.lit(seed))
 
-    sig = [F.array_min(F.transform(shingles, seeded(i))) for i in range(k)]
-    return F.array(*sig)
+    # bind the shingle array once: the k per-seed transforms otherwise
+    # each re-evaluate an inline shingle construction (k× the work)
+    return let_bound(
+        shingles,
+        lambda sh: F.array(*[F.array_min(F.transform(sh, seeded(i))) for i in range(k)]),
+    )
 
 
 def minhash_band_keys(sig: Column, n_bands: int = 4, k: int = 16) -> Column:

@@ -150,21 +150,10 @@ def _dup_flags(s: Column) -> Column:
     )
 
 
-def _let(value: Column, body) -> Column:
-    """Let-binding for expression trees: evaluate ``value`` ONCE per row
-    and hand the bound result to ``body`` as a lambda variable.
-
-    Interpreted higher-order functions (everything in this section —
-    lambda HOFs run outside codegen) re-evaluate any non-lambda subtree
-    referenced inside a lambda once PER OUTER ELEMENT, so a quadratic
-    occurrence count over an inline array expression silently becomes
-    cubic in tokens — ~100× wall on real documents. Wrapping the array in
-    a single-element ``transform`` makes it a bound VALUE: references to
-    the lambda variable are O(1) lookups, restoring the advertised
-    O(units²) bound. (Catalyst's CollapseProject would undo a plain
-    two-Project split by inlining the alias, so the binding must live
-    inside the expression itself.)"""
-    return F.element_at(F.transform(F.array(value), body), 1)
+# let-binding for HOF expression trees — see functions/hof.py for the
+# full doctrine (nested non-lambda subtrees re-evaluate per element,
+# and CollapseProject inlines through a plain two-step select)
+from .hof import let_bound as _let  # noqa: E402
 
 
 def _word_grams(toks: Column, n: int) -> Column:

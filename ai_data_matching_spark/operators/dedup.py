@@ -475,7 +475,7 @@ def duplicate_ngram_spans(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    from ..functions.text import _let
+    from ..functions.hof import let_bound as _let
 
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
 
@@ -528,7 +528,7 @@ def cut_duplicate_spans(
     join back to docs; the coverage expansion + token filter are native
     higher-order functions in codegen — no UDF, no self-join.
     """
-    from ..functions.text import _let
+    from ..functions.hof import let_bound as _let
 
     starts = spans.groupBy(F.col(id_col)).agg(
         F.collect_list("pos").alias("_starts")
