@@ -126,10 +126,6 @@ def doc_fingerprint(text: Column, shingle_k: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _occurrences(arr: Column, x: Column) -> Column:
-    return F.size(F.filter(arr, lambda y: y == x))
-
-
 def _dup_flags(s: Column) -> Column:
     """Per-element is-duplicated flags over a BOUND, SORTED array (see
     ``_let``): after ``array_sort`` equal values are adjacent, so an
@@ -295,7 +291,7 @@ def gopher_quality_filter(
     the contract under test. Still a pure per-row projection: zero
     shuffle, zero Python at any scale."""
     # every signal is let-bound (see ``_let``) so ONE evaluation of the
-    # returned struct costs O(max_units²) cheap comparisons — a caller
+    # returned struct costs O(max_units log max_units) — a caller
     # expanding the struct with ``g.*`` still duplicates the tree per
     # field, but each copy stays cheap
     signals = F.struct(

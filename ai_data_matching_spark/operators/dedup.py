@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import persist_tracked
+from ..functions.hof import let_bound as _let
 from ..functions.hashing import simhash_bands
 from ..partitioning import fan_out
 
@@ -475,8 +476,6 @@ def duplicate_ngram_spans(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    from ..functions.hof import let_bound as _let
-
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
 
     # _let-bind the token array: a plain two-select split is undone by
@@ -528,8 +527,6 @@ def cut_duplicate_spans(
     join back to docs; the coverage expansion + token filter are native
     higher-order functions in codegen — no UDF, no self-join.
     """
-    from ..functions.hof import let_bound as _let
-
     starts = spans.groupBy(F.col(id_col)).agg(
         F.collect_list("pos").alias("_starts")
     )
