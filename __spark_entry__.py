@@ -586,15 +586,19 @@ def q_mm_binary_meta(spark, sf_dir):
 
 
 def q_mm_audio_meta(spark, sf_dir):
-    """Multimodal audio/video: REAL RIFF duration parsing (no estimates).
+    """Multimodal audio/video: REAL container/frame duration parsing (no
+    estimates).
 
-    Each doc gets a deterministic synthetic RIFF payload — WAV (stdlib
-    encoder, sample rate / channels / data size closed-form in doc_id) or
-    AVI (avih frame period × frame count closed-form in doc_id) — and
-    ``extract_media_metadata`` parses duration_ms back out of the headers
-    (functions/riff.py: fmt byte-rate + data size for WAV, avih for AVI).
-    The DuckDB oracle recomputes duration/n_bytes from the SAME closed
-    form, so a bug anywhere in encode OR parse breaks the value hash."""
+    Each doc gets a deterministic synthetic payload — WAV (stdlib RIFF
+    encoder, sample rate / channels / data size closed-form in doc_id),
+    AVI (avih frame period × frame count closed-form), or mp3 (CBR
+    MPEG1-Layer-III frames, bitrate / frame count closed-form) — and
+    ``extract_media_metadata`` parses duration_ms back out of the real
+    headers (functions/riff.py: fmt byte-rate + data size for WAV, avih
+    for AVI; functions/mpeg.py: per-frame header walk for mp3). The
+    DuckDB oracle recomputes duration/n_bytes from the SAME closed form,
+    so a bug anywhere in encode OR parse breaks the value hash."""
+    from ai_data_matching_spark.functions.mpeg import encode_mp3_cbr
     from ai_data_matching_spark.functions.riff import encode_avi_header, encode_wav
     from ai_data_matching_spark.operators.multimodal import extract_media_metadata
 
@@ -609,10 +613,14 @@ def q_mm_audio_meta(spark, sf_dir):
                 out.append(
                     encode_avi_header(20000 + (did % 11) * 1000, 100 + did % 50)
                 )
-            else:
+            elif did % 3 == 1:
                 rate = 8000 + (did % 5) * 4000
                 nch = 1 + did % 2
                 out.append(encode_wav(rate, nch, 16, b"\x00" * (1000 + (did % 97) * 64)))
+            else:
+                out.append(
+                    encode_mp3_cbr(50 + did % 40, bitrate_kbps=64 + (did % 5) * 32)
+                )
         return pd.Series(out)
 
     # NO fan_out — same evidence as q_mm_binary_meta, and RIFF header
@@ -1743,24 +1751,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents t JOIN px USING (doc_id)
         """,
         "mm_audio_meta": """
-            -- closed-form twin of the synthetic RIFF payloads:
+            -- closed-form twin of the synthetic payloads:
             --   WAV n_bytes = 44-byte canonical header + data size (even);
-            --   AVI prefix is the fixed 88-byte RIFF/LIST/avih skeleton
+            --   AVI prefix is the fixed 88-byte RIFF/LIST/avih skeleton;
+            --   mp3 CBR MPEG1-L3 no-padding: frame = 144*bitrate/44100
+            --   bytes, 1152 samples — duration = frames*1152*1000//44100
             WITH p AS (
               SELECT doc_id,
-                     CASE WHEN doc_id % 3 = 0 THEN 'video/avi' ELSE 'audio/wav' END
-                       AS media_type,
+                     CASE WHEN doc_id % 3 = 0 THEN 'video/avi'
+                          WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                          ELSE 'audio/mp3' END AS media_type,
                      20000 + (doc_id % 11) * 1000 AS upf,
                      100 + doc_id % 50 AS tf,
                      8000 + (doc_id % 5) * 4000 AS rate,
                      1 + doc_id % 2 AS nch,
-                     1000 + (doc_id % 97) * 64 AS dsize
+                     1000 + (doc_id % 97) * 64 AS dsize,
+                     50 + doc_id % 40 AS nframes,
+                     (64 + (doc_id % 5) * 32) * 1000 AS br
               FROM documents)
             SELECT doc_id, media_type,
                    (CASE WHEN media_type = 'video/avi' THEN 88
-                         ELSE 44 + dsize END)::BIGINT AS n_bytes,
+                         WHEN media_type = 'audio/wav' THEN 44 + dsize
+                         ELSE nframes * (144 * br // 44100) END)::BIGINT AS n_bytes,
                    (CASE WHEN media_type = 'video/avi' THEN upf * tf // 1000
-                         ELSE dsize * 1000 // (rate * nch * 2) END)::BIGINT
+                         WHEN media_type = 'audio/wav'
+                           THEN dsize * 1000 // (rate * nch * 2)
+                         ELSE nframes * 1152 * 1000 // 44100 END)::BIGINT
                      AS duration_ms
             FROM p
         """,

@@ -27,7 +27,29 @@ from pyspark.sql import functions as F
 # Java-regex ∩ RE2 common subset (see module docstring)
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_PATTERN = r"\b\d{1,3}(?:\.\d{1,3}){3}\b"
-PHONE_PATTERN = r"\+\d{1,2}-\d{3}-\d{3}-\d{4}"
+# Phone recall follows the C4/RefinedWeb recipe breadth (VERDICT r04
+# item 3): an ordered alternation of well-formed shapes, not one loose
+# catch-all — each branch is anchored (\b / literal '+') on BOTH ends so
+# a longer digit run is never partially masked. Branches:
+#   1. international with separators:  +1-555-867-5309, +44 20 7946 0958
+#   2. compact E.164:                  +15551234567 (10-14 digits)
+#   3. US parenthesized area code:     (555) 123-4567, (555)123.4567
+#   4. US dashed/dotted:               555-123-4567, 555.123.4567
+#   5. bare 10-digit NANP:             2025550123 — area code and
+#      exchange both [2-9]xx (the NANP rule), which is also the guard
+#      that keeps ISBN-10s (group codes 0/1 → leading digit) and other
+#      phone-like numerics out without lookaround (none in the RE2
+#      subset). IP:port never matches: the IPv4 pass runs first and
+#      ports are ≤5 digits.
+# Both engines resolve alternation leftmost-first (Java regex; RE2
+# default semantics), so the branch order is part of the contract.
+PHONE_PATTERN = (
+    r"\+\d{1,3}[-. ]\d{1,4}(?:[-. ]\d{2,6}){1,3}\b"
+    r"|\+\d{10,14}\b"
+    r"|\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}\b"
+    r"|\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+    r"|\b[2-9]\d{2}[2-9]\d{6}\b"
+)
 
 EMAIL_TOKEN = "<EMAIL>"
 IPV4_TOKEN = "<IP>"

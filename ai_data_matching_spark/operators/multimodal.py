@@ -5,10 +5,12 @@ Every emitted value is REAL or NULL — never an estimate: PNG is fully
 decoded (zlib inflate + all five scanline unfilters — ``functions/png.py``),
 JPEG/GIF dimensions come from their public header layouts, WAV and AVI
 durations are parsed exactly from the RIFF fmt/data and avih headers
-(``functions/riff.py``). Formats whose duration genuinely needs a codec
-walk (mp3 frame headers, webm EBML) emit NULL duration plus a
-``codec_required`` flag; a corrupt payload yields NULL fields plus
-``decode_error`` — never a crash, never a fake value.
+(``functions/riff.py``), and mp3 duration comes from an exact MPEG
+frame-header walk (``functions/mpeg.py`` — CBR and explicit-bitrate VBR
+alike). Formats whose duration genuinely needs a codec walk (webm EBML,
+free-format mp3 bitrate) emit NULL duration plus a ``codec_required``
+flag; a corrupt payload yields NULL fields plus ``decode_error`` —
+never a crash, never a fake value.
 
 Design for 100 TB: binary payloads never shuffle — metadata extraction is
 a narrow projection; downstream joins/gathers operate on (id, metadata)
@@ -24,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import mpeg as _mpeg
 from ..functions import png as _png
 from ..functions import riff as _riff
 
@@ -64,6 +67,16 @@ def sniff_media_type(payload: bytes | None) -> str:
     for magic, mtype in _MAGIC.items():
         if payload.startswith(magic):
             return mtype
+    # bare MPEG audio (no ID3 prefix): 11-bit frame sync + non-reserved
+    # version/layer fields — the public mp3 header layout
+    if (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and payload[1] & 0xE0 == 0xE0
+        and payload[1] & 0x18 != 0x08  # version not reserved
+        and payload[1] & 0x06 != 0x00  # layer not reserved
+    ):
+        return "audio/mp3"
     return "application/octet-stream"
 
 
@@ -124,9 +137,21 @@ def extract_media_metadata(
                         duration = _riff.avi_duration_ms(data)
                     except ValueError:
                         err = True
+                elif mtype == "audio/mp3":
+                    # exact duration from the MPEG frame-header walk
+                    # (functions/mpeg.py) — CBR and explicit-bitrate VBR
+                    # alike; only free-format bitrate genuinely needs a
+                    # codec-level sync scan → codec_required, and a
+                    # corrupt stream → decode_error. Never a guess.
+                    try:
+                        duration = _mpeg.mp3_duration_ms(data)
+                    except _mpeg.CodecWalkRequired:
+                        codec = True
+                    except ValueError:
+                        err = True
                 elif mtype.startswith(("audio/", "video/")):
-                    # mp3 / webm duration needs a codec-level walk the
-                    # container doesn't ship: NULL + flag, never a guess
+                    # webm duration needs an EBML/codec walk the container
+                    # doesn't ship: NULL + flag, never a guess
                     codec = True
                 out.append(
                     dict(

@@ -258,8 +258,26 @@ def ensure_pages_table(
     tag = hashlib.md5(inspect.getsource(generate_pages).encode()).hexdigest()[:10]
     path = f"{base}/pages-{n_pages}-s{seed}-{tag}.parquet"
     os.makedirs(base, exist_ok=True)
+    # A killed writer leaves a partial directory every later run would
+    # silently read (wrong corpus size skews recorded throughput) — only
+    # Spark's _SUCCESS marker certifies completeness. Rebuilds go through
+    # a temp dir + atomic rename, so concurrent harnesses sharing the
+    # cache either win the rename or adopt the winner's complete copy.
+    if os.path.isdir(path) and not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
     if not os.path.exists(path):
+        import shutil
+        import uuid
+
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
         generate_pages(spark, n_pages, seed=seed).drop("entity_id").repartition(
             32
-        ).write.mode("overwrite").parquet(path)
+        ).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another writer published first — use theirs, drop ours
+            shutil.rmtree(tmp, ignore_errors=True)
     return path

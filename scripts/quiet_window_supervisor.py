@@ -65,19 +65,38 @@ def foreground_busy() -> bool:
     me = str(os.getpid())
     if any(pid != me for pid in out):
         return True
-    return os.getloadavg()[0] > 2.0
+    # threshold scales with core count (ADVICE r04: a hardcoded 2.0 would
+    # never fire on a box whose routine background load exceeds it, and
+    # meant different sensitivity on different hosts); override via env.
+    thresh = float(
+        os.environ.get("SUPERVISOR_LOAD_THRESH", max(2.0, 0.10 * (os.cpu_count() or 32)))
+    )
+    load1 = os.getloadavg()[0]
+    if load1 > thresh:
+        print(
+            json.dumps(
+                {"t": time.strftime("%H:%M:%S"), "load_gate": round(load1, 2),
+                 "thresh": thresh}
+            ),
+            flush=True,
+        )
+        return True
+    return False
 
 
 # the documented [log_suffix] argument names the bench artifact, so a
 # rerun never silently overwrites a previous capture referenced by docs
 LOG_SUFFIX = sys.argv[1] if len(sys.argv) > 1 else "r04i"
 
+# per-task run budgets are env-tunable so a session can e.g. accumulate
+# scaling evidence all day while deferring the bench capture until the
+# round's code is final (SUPERVISOR_BENCH_RUNS=0 disables the task)
 TASKS = [
     {
         "name": "bench",
         "min_eff": 0.6,
         "min_rate": 15.0,
-        "max_runs": 1,
+        "max_runs": int(os.environ.get("SUPERVISOR_BENCH_RUNS", "1")),
         "cmd": "{py} bench.py > BENCH/bench_local_"
         + LOG_SUFFIX
         + ".json 2>/dev/null",
@@ -86,7 +105,7 @@ TASKS = [
         "name": "scaling",
         "min_eff": 0.85,
         "min_rate": 20.0,
-        "max_runs": 2,
+        "max_runs": int(os.environ.get("SUPERVISOR_SCALING_RUNS", "2")),
         "cmd": "SCALING_REPS=2 {py} scripts/scaling_bench.py 500000 1 4",
     },
 ]

@@ -145,6 +145,83 @@ def test_avi_duration_exact():
         avi_duration_ms(encode_avi_header(0, 300))  # zero frame period
 
 
+def test_mp3_duration_exact_cbr():
+    from ai_data_matching_spark.functions.mpeg import encode_mp3_cbr, mp3_duration_ms
+
+    # MPEG1 Layer III @44.1 kHz: 1152 samples/frame
+    for n, br in [(1, 128), (38, 64), (100, 192), (7, 320)]:
+        data = encode_mp3_cbr(n, bitrate_kbps=br)
+        assert mp3_duration_ms(data) == n * 1152 * 1000 // 44100, (n, br)
+    # 32 kHz variant
+    data = encode_mp3_cbr(25, bitrate_kbps=96, sample_rate=32000)
+    assert mp3_duration_ms(data) == 25 * 1152 * 1000 // 32000
+
+
+def test_mp3_vbr_and_tag_handling():
+    from ai_data_matching_spark.functions.mpeg import encode_mp3_cbr, mp3_duration_ms
+
+    # explicit-bitrate VBR: concatenated frames at different bitrates walk
+    # exactly (duration depends only on frame count × samples)
+    vbr = encode_mp3_cbr(3, 64) + encode_mp3_cbr(2, 192) + encode_mp3_cbr(5, 128)
+    assert mp3_duration_ms(vbr) == 10 * 1152 * 1000 // 44100
+    # ID3v2 prefix (syncsafe size) and ID3v1 trailer are skipped
+    body = encode_mp3_cbr(10, 128)
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 5]) + b"\x00" * ((1 << 7) + 5)
+    id3v1 = b"TAG" + b"\x00" * 125
+    assert mp3_duration_ms(id3v2 + body + id3v1) == 10 * 1152 * 1000 // 44100
+
+
+def test_mp3_refusals():
+    import struct as _s
+
+    from ai_data_matching_spark.functions.mpeg import (
+        CodecWalkRequired,
+        encode_mp3_cbr,
+        mp3_duration_ms,
+    )
+
+    good = encode_mp3_cbr(4, 128)
+    # truncated final frame → corrupt, not an estimate
+    with pytest.raises(ValueError):
+        mp3_duration_ms(good[:-10])
+    # garbage between frames → lost sync
+    with pytest.raises(ValueError):
+        mp3_duration_ms(good + b"junk")
+    # free-format bitrate (index 0) → codec walk required, distinct from corrupt
+    hdr = int.from_bytes(good[:4], "big") & ~(0xF << 12)
+    free = _s.pack(">I", hdr) + good[4:]
+    with pytest.raises(CodecWalkRequired):
+        mp3_duration_ms(free)
+    with pytest.raises(ValueError):
+        mp3_duration_ms(b"")
+
+
+def test_mp3_metadata_extraction(spark):
+    from ai_data_matching_spark.functions.mpeg import encode_mp3_cbr
+
+    good = encode_mp3_cbr(20, 160)
+    hdr = int.from_bytes(good[:4], "big") & ~(0xF << 12)  # free-format
+    free = hdr.to_bytes(4, "big") + good[4:]
+    df = spark.createDataFrame(
+        [(1, good), (2, free), (3, good[:-5]), (4, b"ID3\x00\x00\x00" + b"\xff" * 8)],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in extract_media_metadata(df).collect()}
+    assert rows[1]["media_type"] == "audio/mp3"
+    assert rows[1]["duration_ms"] == 20 * 1152 * 1000 // 44100
+    assert rows[1]["decode_error"] is False and rows[1]["codec_required"] is False
+    # free-format → honest codec_required, NULL duration
+    assert rows[2]["duration_ms"] is None and rows[2]["codec_required"] is True
+    assert rows[2]["decode_error"] is False
+    # truncated → decode_error
+    assert rows[3]["duration_ms"] is None and rows[3]["decode_error"] is True
+    # ID3 magic but unparseable body → decode_error, never a crash
+    assert rows[4]["media_type"] == "audio/mp3"
+    assert rows[4]["duration_ms"] is None and rows[4]["decode_error"] is True
+    # bare frame-sync sniff (no ID3 prefix)
+    assert sniff_media_type(good) == "audio/mp3"
+
+
 def test_metadata_schema_and_values(media):
     meta = extract_media_metadata(media)
     rows = {r["id"]: r for r in meta.collect()}

@@ -101,6 +101,100 @@ def test_duckdb_parity_on_adversarial_and_real_text(spark):
     assert got == want
 
 
+# -- labeled phone-format corpus (VERDICT r04 item 3) ----------------------
+# positives: the widened pattern must mask the WHOLE span; negatives:
+# phone-like numerics (ISBNs, IP:port, dates, versions, short/long digit
+# runs) must survive untouched.
+PHONE_POSITIVES = [
+    "+1-555-867-5309",          # international dashed (original form)
+    "+44-020-794-6000",
+    "+44 20 7946 0958",         # international spaced
+    "+1 555 867 5309",
+    "+49.30.901820",            # international dotted
+    "+15551234567",             # compact E.164
+    "+442079460958",
+    "(555) 123-4567",           # US parenthesized
+    "(555)123-4567",
+    "(555) 123 4567",
+    "(555)1234567",
+    "555-123-4567",             # US dashed
+    "555.123.4567",             # US dotted
+    "2025550123",               # bare NANP 10-digit
+    "9195551234",
+]
+PHONE_NEGATIVES = [
+    "ISBN 0306406152",          # ISBN-10 (group code 0 → fails NANP)
+    "ISBN 1861972717",          # ISBN-10 (group code 1)
+    "9780306406157",            # ISBN-13 (13 digits — no \b\d{10}\b fit)
+    "978-0-306-40615",          # ISBN-13 dashed (1-3-5 groups, not 3-3-4)
+    "10.0.0.1:8080",            # IP:port — IPv4 masked first, port ≤5 digits
+    "2026-08-21",               # date
+    "v1.2.3.4rc",
+    "order 123456789",          # 9 digits
+    "id 12345678901",           # 11 digits
+    "1234567890",               # 10 digits, area code starts 1 → not NANP
+    "0223334444",               # 10 digits, area code starts 0
+    "2220334444",               # exchange starts 0 → not NANP
+    "$1,234,567.89",
+]
+
+
+def test_phone_format_corpus_recall_and_guards(spark):
+    texts = [f"call {p} now" for p in PHONE_POSITIVES] + [
+        f"ref {n} ok" for n in PHONE_NEGATIVES
+    ]
+    got = _spark_rows(spark, texts)
+    for i, p in enumerate(PHONE_POSITIVES):
+        e, ip, ph, red = got[i]
+        assert ph >= 1 and red == "call <PHONE> now", (p, got[i])
+    for j, n in enumerate(PHONE_NEGATIVES):
+        i = len(PHONE_POSITIVES) + j
+        e, ip, ph, red = got[i]
+        assert ph == 0, (n, got[i])
+        # the span itself must survive (modulo an IPv4 mask, which is
+        # the contract for IP:port)
+        if "." not in n or ":" not in n:
+            assert n in red or "<IP>" in red, (n, red)
+
+
+def test_phone_corpus_duckdb_parity(spark):
+    """The widened alternation is the first multi-branch pattern — pin
+    leftmost-first parity between Java regex and DuckDB RE2 on every
+    labeled positive/negative plus adversarial concatenations."""
+    import duckdb as _d
+
+    texts = (
+        [f"x {p} y" for p in PHONE_POSITIVES]
+        + [f"x {n} y" for n in PHONE_NEGATIVES]
+        + [
+            " ".join(PHONE_POSITIVES),
+            " ".join(PHONE_NEGATIVES),
+            "+1 22 33 44 55",           # spaced run at the repeat cap
+            "+123456789012345",         # 15 digits — too long for compact E.164
+            "(555) 123-45678",          # 5-digit tail breaks the \b
+            "5551234567890",            # 13-digit run — no internal match
+        ]
+    )
+    got = _spark_rows(spark, texts)
+    con = _d.connect()
+    con.execute("CREATE TABLE t (id BIGINT, raw VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)]
+    )
+    want = {
+        row[0]: row[1:]
+        for row in con.execute(
+            f"""SELECT id,
+                    {pii.sql_count('raw', pii.EMAIL_PATTERN)},
+                    {pii.sql_count('raw', pii.IPV4_PATTERN)},
+                    {pii.sql_count('raw', pii.PHONE_PATTERN)},
+                    {pii.sql_scrub('raw')}
+                FROM t"""
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_scrub_is_idempotent(spark):
     texts = [c[0] for c in CASES] + ["x@y.zz 1.2.3.4 +1-222-333-4444 " * 3]
     df = spark.createDataFrame([(t,) for t in texts], "raw string")
