@@ -292,51 +292,57 @@ def candidate_pairs(
         .filter(F.col("uid_a") < F.col("uid_b"))
         .filter(ham_ok)
         .select("uid_a", "uid_b")
-        .dropDuplicates(["uid_a", "uid_b"])
     )
     # scoring reads at most MAX_SCORE_CHARS of each text (similarity._prep
     # slices before the DP), so the payload join ships only that prefix —
-    # identical scores, and the two text-attach shuffles carry a bounded
+    # identical scores, and the attach shuffle carries a bounded
     # ~0.5 KB/side instead of the full page text.
     from ..functions.similarity import MAX_SCORE_CHARS
 
+    # Melt-attach (r05, shared shape with incremental_candidate_pairs):
+    # each pair melts into (pair, side, uid) rows so ONE corpus scan
+    # feeds both endpoints through a single equi-join, and ONE groupBy on
+    # the pair key performs the cross-key dedup and the a/b pivot
+    # together — replacing the previous dropDuplicates shuffle + two
+    # payload joins (two corpus scans, the second join's probe side too
+    # wide for a broadcast). Duplicate (multi-key) pairs collapse in the
+    # agg: max over identical structs.
     payload = blocked.select(
         F.xxhash64(F.col(url_col)).alias("uid"),
         F.col(url_col).alias("url"),
         F.substring(F.col(text_col), 1, MAX_SCORE_CHARS).alias("norm_text"),
         F.col("minhash_sig"),
     )
-    attached = (
-        slim.join(
-            payload.select(
-                F.col("uid").alias("uid_a"),
-                F.col("url").alias("_u_a"),
-                F.col("norm_text").alias("_t_a"),
-                F.col("minhash_sig").alias("_s_a"),
-            ),
-            "uid_a",
-        )
-        .join(
-            payload.select(
-                F.col("uid").alias("uid_b"),
-                F.col("url").alias("_u_b"),
-                F.col("norm_text").alias("_t_b"),
-                F.col("minhash_sig").alias("_s_b"),
-            ),
-            "uid_b",
+    sides = slim.select(
+        "uid_a",
+        "uid_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("uid_a").alias("uid"), F.lit(0).alias("side")),
+                F.struct(F.col("uid_b").alias("uid"), F.lit(1).alias("side")),
+            )
+        ).alias("_s"),
+    ).select("uid_a", "uid_b", F.col("_s.uid").alias("uid"), F.col("_s.side").alias("side"))
+    pay = F.struct(F.col("url"), F.col("norm_text"), F.col("minhash_sig"))
+    pairs0 = (
+        payload.join(sides, "uid")
+        .groupBy("uid_a", "uid_b")
+        .agg(
+            F.max(F.when(F.col("side") == 0, pay)).alias("_pa"),
+            F.max(F.when(F.col("side") == 1, pay)).alias("_pb"),
         )
     )
     # re-orient to url_a < url_b so the output contract (and every
     # downstream tiebreak) is identical to the string-keyed formulation
-    flip = F.col("_u_a") > F.col("_u_b")
-    pick = lambda a_c, b_c: F.when(flip, F.col(b_c)).otherwise(F.col(a_c))  # noqa: E731
-    pairs = attached.select(
-        pick("_u_a", "_u_b").alias("url_a"),
-        pick("_u_b", "_u_a").alias("url_b"),
-        pick("_t_a", "_t_b").alias("text_a"),
-        pick("_t_b", "_t_a").alias("text_b"),
-        pick("_s_a", "_s_b").alias("sig_a"),
-        pick("_s_b", "_s_a").alias("sig_b"),
+    flip = F.col("_pa.url") > F.col("_pb.url")
+    pick = lambda a_c, b_c: F.when(flip, b_c).otherwise(a_c)  # noqa: E731
+    pairs = pairs0.select(
+        pick(F.col("_pa.url"), F.col("_pb.url")).alias("url_a"),
+        pick(F.col("_pb.url"), F.col("_pa.url")).alias("url_b"),
+        pick(F.col("_pa.norm_text"), F.col("_pb.norm_text")).alias("text_a"),
+        pick(F.col("_pb.norm_text"), F.col("_pa.norm_text")).alias("text_b"),
+        pick(F.col("_pa.minhash_sig"), F.col("_pb.minhash_sig")).alias("sig_a"),
+        pick(F.col("_pb.minhash_sig"), F.col("_pa.minhash_sig")).alias("sig_b"),
     )
     return pairs, hot
 

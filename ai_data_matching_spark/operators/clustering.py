@@ -97,12 +97,24 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
 
 def _union_find_arrow(tbl, spark) -> DataFrame:
     """Driver union-find over an already-collected Arrow edge table."""
+    out = union_find_arrow_table(tbl)
+    if out is None:
+        return spark.createDataFrame([], "url string, component string")
+    return spark.createDataFrame(out, schema="url string, component string")
+
+
+def union_find_arrow_table(tbl):
+    """The numpy union-find core over an Arrow (src, dst) edge table —
+    returns an Arrow (url, component) table (None for an empty input).
+    Shared by the CC small-graph path and the incremental fold's
+    driver-side label-delta contraction (operators/incremental.py), so
+    both produce bit-identical min-url labels."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if tbl.num_rows == 0:
-        return spark.createDataFrame([], "url string, component string")
+        return None
     n = tbl.num_rows
     both = pa.concat_arrays(
         [tbl.column("src").combine_chunks(), tbl.column("dst").combine_chunks()]
@@ -136,10 +148,9 @@ def _union_find_arrow(tbl, spark) -> DataFrame:
             if np.array_equal(nl, label):
                 break
             label = nl
-    out = pa.table(
+    return pa.table(
         {"url": sorted_urls, "component": sorted_urls.take(pa.array(label))}
     )
-    return spark.createDataFrame(out, schema="url string, component string")
 
 
 def connected_components(

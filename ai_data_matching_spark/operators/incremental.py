@@ -19,7 +19,8 @@ only pairs that TOUCH the new batch:
   (skew) exclusion is computed over the UNION block sizes, i.e. the
   same cap decisions a full recompute over history ∪ batch would make
   for the new pairs. Per-batch ingest counts (new / changed /
-  refreshed / dropped) are committed as a ``batch_ingest_*`` metric.
+  refreshed / dropped) ride the fused per-fold ``batch_metrics_*``
+  frame (one metric action per fold).
 * candidate generation — an asymmetric equi-join: new-side keys against
   all-side keys, so old-old pairs are never materialized. Orientation,
   Hamming prefilter, cross-key dedup and payload attach are shared with
@@ -128,8 +129,102 @@ def exact_match_edges_touched(blocked_union: DataFrame, new_flag: str = "_is_new
     )
 
 
-def incremental_label_delta(
+def _label_delta_driver(
     prior_labels: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """Driver-side contraction + union-find for label deltas whose edge
+    set fits the CC small-graph gate (the overwhelmingly common fold
+    shape — the committed edge delta is O(batch)).
+
+    The distributed form pays ~5 fixed-latency units per fold (two
+    broadcast builds for the endpoint maps, the CC gate probe, the CC
+    collect, plus persists) to produce a result that the hybrid CC would
+    collect to the driver anyway. This path collects ONCE each: the
+    O(delta) edge list and the prior labels cut to its endpoint set
+    (broadcast semi-join — the prior is scanned, never shuffled), then
+    does contraction, node-origin flags, and union-find in
+    pyarrow/numpy (the exact kernel the CC small-graph path runs —
+    ``clustering.union_find_arrow_table`` — so labels are
+    bit-identical), and ships back one tiny broadcast for the
+    changed-row scan. Driver memory is bounded by the same
+    ``DEFAULT_SMALL_GRAPH_EDGES`` gate CC uses."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .clustering import union_find_arrow_table
+
+    spark = new_edges.sparkSession
+    e_tbl = new_edges.select("src", "dst").toArrow()
+    empty = spark.createDataFrame([], "url string, component string")
+    if e_tbl.num_rows == 0:
+        return empty
+    src = e_tbl.column("src").combine_chunks()
+    dst = e_tbl.column("dst").combine_chunks()
+    ends = pc.unique(pa.concat_arrays([src, dst]))
+    ends_df = spark.createDataFrame(pa.table({"url": ends}), schema="url string")
+    t_tbl = (
+        prior_labels.join(F.broadcast(ends_df), "url", "left_semi")
+        .select("url", "component")
+        .toArrow()
+    )
+    t_urls = t_tbl.column("url").combine_chunks()
+    t_comp = t_tbl.column("component").combine_chunks()
+    idx_s = pc.index_in(src, value_set=t_urls)
+    idx_d = pc.index_in(dst, value_set=t_urls)
+    src_m = pc.coalesce(pc.take(t_comp, idx_s), src)
+    dst_m = pc.coalesce(pc.take(t_comp, idx_d), dst)
+    src_prior = pc.is_valid(idx_s)
+    dst_prior = pc.is_valid(idx_d)
+    keep = pc.invert(pc.equal(src_m, dst_m))
+    contracted = pa.table(
+        {"src": pc.filter(src_m, keep), "dst": pc.filter(dst_m, keep)}
+    )
+    labels = union_find_arrow_table(contracted)
+    if labels is None:
+        return empty
+    l_urls = labels.column("url").combine_chunks()
+    l_comp = labels.column("component").combine_chunks()
+    # node-origin flags: a contracted node is either a prior component
+    # rep or a brand-new url — decided by the contraction join itself
+    fresh_nodes = pc.unique(
+        pa.concat_arrays(
+            [
+                pc.filter(src_m, pc.invert(src_prior)),
+                pc.filter(dst_m, pc.invert(dst_prior)),
+            ]
+        )
+    )
+    in_fresh = pc.is_valid(pc.index_in(l_urls, value_set=fresh_nodes))
+    fresh_tbl = pa.table(
+        {"url": pc.filter(l_urls, in_fresh), "component": pc.filter(l_comp, in_fresh)}
+    )
+    # changed reps: prior-origin nodes whose component id actually moved
+    rep_moved = pc.and_(pc.invert(in_fresh), pc.invert(pc.equal(l_urls, l_comp)))
+    reps_tbl = pa.table(
+        {"_rep": pc.filter(l_urls, rep_moved), "_nc": pc.filter(l_comp, rep_moved)}
+    )
+    changed = (
+        prior_labels.join(
+            F.broadcast(
+                spark.createDataFrame(reps_tbl, schema="_rep string, _nc string")
+            ),
+            prior_labels["component"] == F.col("_rep"),
+        )
+        .select("url", F.col("_nc").alias("component"))
+    )
+    fresh = (
+        spark.createDataFrame(fresh_tbl, schema="url string, component string")
+        if fresh_tbl.num_rows
+        else empty
+    )
+    return changed.unionByName(fresh)
+
+
+def incremental_label_delta(
+    prior_labels: DataFrame,
+    new_edges: DataFrame,
+    n_new_edges: int | None = None,
+    driver_edge_limit: int | None = None,
 ) -> tuple[DataFrame, int]:
     """The label DELTA the new edges induce on the prior clustering —
     exactly the rows a full recompute would label differently, plus the
@@ -151,34 +246,81 @@ def incremental_label_delta(
     COMMITS (``labels_delta`` snapshot); the full label view is
     reconstructed on read (TableIO.read_state url-replacement merge).
 
-    Cost: one slim join of the new edges against the prior labels (the
-    only O(history) touch — two url strings per row), a CC over O(new)
-    contracted edges, and a changed-row join of the prior labels against
-    the (small) contracted result.
+    Cost shape (r05 rewrite): the prior labels are SCANNED, never
+    SHUFFLED. The old form outer-joined the O(delta) edges against the
+    full prior labels — a left-outer join whose big side is on the right
+    cannot broadcast, so Spark sort-merge-shuffled the whole history's
+    labels per fold, twice (src + dst), and the fresh-node anti-join
+    shuffled it a third time. Now the prior side is first cut to the
+    edge-endpoint url set with one broadcast semi-join (scan-only,
+    O(delta) output, persisted once for both sides), the endpoint joins
+    broadcast that slim cut, and fresh nodes come from the join's own
+    null-ness flags (a url absent from the prior keeps itself — so
+    whether a contracted NODE is a prior component rep or a brand-new
+    url is already decided during contraction, no history anti-join
+    needed). The one remaining O(history) touch is the changed-row scan
+    against the (broadcast) contracted result — irreducible, it defines
+    the delta.
+
+    When the caller knows the edge-delta row count (``n_new_edges`` —
+    the fold reads it from the committed snapshot's manifest record, so
+    it costs zero jobs) and it fits the CC small-graph gate, the whole
+    contraction runs driver-side in one pass (``_label_delta_driver``)
+    — same labels, ~5 fewer fixed-latency Spark rounds per fold. The
+    distributed shape below is the scale path (and the fallback when
+    the count is unknown); tests pin both paths equal.
     """
+    if driver_edge_limit is None:
+        from .clustering import DEFAULT_SMALL_GRAPH_EDGES as _gate
+
+        driver_edge_limit = _gate
+    if n_new_edges is not None and 0 <= n_new_edges <= driver_edge_limit:
+        return _label_delta_driver(prior_labels, new_edges), 0
     e = new_edges.select("src", "dst")
-    pl_src = prior_labels.select(
-        F.col("url").alias("src"), F.col("component").alias("_c_src")
+    ends = (
+        e.select(F.col("src").alias("url"))
+        .unionByName(e.select(F.col("dst").alias("url")))
+        .dropDuplicates()
     )
-    pl_dst = prior_labels.select(
-        F.col("url").alias("dst"), F.col("component").alias("_c_dst")
+    # persisted: pl_src and pl_dst below both broadcast this cut — without
+    # the persist each broadcast exchange re-scans the full prior labels
+    touched = persist_tracked(
+        prior_labels.join(F.broadcast(ends), "url", "left_semi")
     )
-    contracted = (
-        e.join(pl_src, "src", "left")
-        .join(pl_dst, "dst", "left")
+    pl_src = touched.select(F.col("url").alias("src"), F.col("component").alias("_c_src"))
+    pl_dst = touched.select(F.col("url").alias("dst"), F.col("component").alias("_c_dst"))
+    # persisted: feeds BOTH the CC edge list and the node-origin flags
+    contracted_tagged = persist_tracked(
+        e.join(F.broadcast(pl_src), "src", "left")
+        .join(F.broadcast(pl_dst), "dst", "left")
         .select(
             F.coalesce("_c_src", "src").alias("src"),
+            F.col("_c_src").isNotNull().alias("_src_prior"),
             F.coalesce("_c_dst", "dst").alias("dst"),
+            F.col("_c_dst").isNotNull().alias("_dst_prior"),
         )
-        .filter(F.col("src") != F.col("dst"))
     )
+    # node → came-from-prior flag; consistent per node (a url either has a
+    # prior label row or it doesn't), O(delta) rows
+    node_flags = (
+        contracted_tagged.select(F.col("src").alias("url"), F.col("_src_prior").alias("_prior"))
+        .unionByName(
+            contracted_tagged.select(F.col("dst").alias("url"), F.col("_dst_prior").alias("_prior"))
+        )
+        .dropDuplicates()
+    )
+    contracted = contracted_tagged.select("src", "dst").filter(F.col("src") != F.col("dst"))
     c_labels, iters = connected_components(contracted)
-    # consumed twice (changed-row join + fresh-node anti-join) and tiny —
+    # consumed twice (changed-row join + fresh-node semi-join) and tiny —
     # O(touched components + new urls)
     c_labels = persist_tracked(c_labels)
     changed = (
         prior_labels.join(
-            c_labels.select(F.col("url").alias("_rep"), F.col("component").alias("_nc")),
+            F.broadcast(
+                c_labels.select(
+                    F.col("url").alias("_rep"), F.col("component").alias("_nc")
+                )
+            ),
             prior_labels["component"] == F.col("_rep"),
         )
         # a touched component whose rep stays its own min is unchanged —
@@ -186,7 +328,11 @@ def incremental_label_delta(
         .filter(F.col("_nc") != F.col("component"))
         .select("url", F.col("_nc").alias("component"))
     )
-    fresh = c_labels.join(prior_labels.select("url"), "url", "left_anti")
+    fresh = c_labels.join(
+        F.broadcast(node_flags.filter(~F.col("_prior")).select("url")),
+        "url",
+        "left_semi",
+    )
     return changed.unionByName(fresh.select("url", "component")), iters
 
 
@@ -256,7 +402,8 @@ def incremental_candidate_pairs(
         F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))) <= max_band_hamming
     )
     # orient by least/greatest (the asymmetric join yields new-old pairs
-    # in one order and new-new pairs in both), then dedup across keys
+    # in one order and new-new pairs in both); cross-key dedup happens in
+    # the attach groupBy below — one shuffle for dedup AND attach
     slim = (
         a.join(b, "block_key")
         .filter(F.col("uid_a") != F.col("uid_b"))
@@ -265,50 +412,54 @@ def incremental_candidate_pairs(
             F.least("uid_a", "uid_b").alias("uid_a"),
             F.greatest("uid_a", "uid_b").alias("uid_b"),
         )
-        .dropDuplicates(["uid_a", "uid_b"])
     )
     from ..functions.similarity import MAX_SCORE_CHARS
 
-    # The two attach joins below each stream this projection — two
-    # column-pruned history scans per fold. A measured-and-REJECTED
-    # alternative (2026-08-19): cut it to touched-block membership with a
-    # left-semi on touched uids and persist the O(touched) result before
-    # the joins — one scan instead of two, but the distinct + persist
-    # barrier cost MORE than the saved scan at bench scale (edges commit
-    # 4.2-4.8 s → 5.2-5.7 s in interleaved A/B). Revisit only if a real
-    # deployment measures the attach scans dominating the fold.
+    # Melt-attach (r05): the previous shape was dropDuplicates (shuffle 1)
+    # + two payload equi-joins — two column-pruned history scans, with the
+    # second join's probe side too wide for AQE to broadcast (shuffle 2).
+    # Melting each pair into (pair, side, uid) rows lets ONE history scan
+    # feed both endpoints through a single equi-join (AQE broadcasts the
+    # O(pairs) melted side at fold scale; at extreme batch sizes it
+    # degrades to the same shuffle join as before, never worse), and ONE
+    # groupBy on the oriented pair key performs the cross-key dedup and
+    # the a/b pivot together. Net: one O(history) scan and one O(pairs)
+    # shuffle replace two scans and two shuffles per fold. Duplicate
+    # (multi-key) pairs collapse in the agg — max over identical structs.
     payload = blocked_union.select(
         F.xxhash64(F.col("url")).alias("uid"),
         F.col("url"),
         F.substring(F.col("norm_text"), 1, MAX_SCORE_CHARS).alias("norm_text"),
         F.col("minhash_sig"),
     )
-    attached = slim.join(
-        payload.select(
-            F.col("uid").alias("uid_a"),
-            F.col("url").alias("_u_a"),
-            F.col("norm_text").alias("_t_a"),
-            F.col("minhash_sig").alias("_s_a"),
-        ),
+    sides = slim.select(
         "uid_a",
-    ).join(
-        payload.select(
-            F.col("uid").alias("uid_b"),
-            F.col("url").alias("_u_b"),
-            F.col("norm_text").alias("_t_b"),
-            F.col("minhash_sig").alias("_s_b"),
-        ),
         "uid_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("uid_a").alias("uid"), F.lit(0).alias("side")),
+                F.struct(F.col("uid_b").alias("uid"), F.lit(1).alias("side")),
+            )
+        ).alias("_s"),
+    ).select("uid_a", "uid_b", F.col("_s.uid").alias("uid"), F.col("_s.side").alias("side"))
+    pay = F.struct(F.col("url"), F.col("norm_text"), F.col("minhash_sig"))
+    pairs0 = (
+        payload.join(sides, "uid")
+        .groupBy("uid_a", "uid_b")
+        .agg(
+            F.max(F.when(F.col("side") == 0, pay)).alias("_pa"),
+            F.max(F.when(F.col("side") == 1, pay)).alias("_pb"),
+        )
     )
-    flip = F.col("_u_a") > F.col("_u_b")
-    pick = lambda a_c, b_c: F.when(flip, F.col(b_c)).otherwise(F.col(a_c))  # noqa: E731
-    pairs = attached.select(
-        pick("_u_a", "_u_b").alias("url_a"),
-        pick("_u_b", "_u_a").alias("url_b"),
-        pick("_t_a", "_t_b").alias("text_a"),
-        pick("_t_b", "_t_a").alias("text_b"),
-        pick("_s_a", "_s_b").alias("sig_a"),
-        pick("_s_b", "_s_a").alias("sig_b"),
+    flip = F.col("_pa.url") > F.col("_pb.url")
+    pick = lambda a_c, b_c: F.when(flip, b_c).otherwise(a_c)  # noqa: E731
+    pairs = pairs0.select(
+        pick(F.col("_pa.url"), F.col("_pb.url")).alias("url_a"),
+        pick(F.col("_pb.url"), F.col("_pa.url")).alias("url_b"),
+        pick(F.col("_pa.norm_text"), F.col("_pb.norm_text")).alias("text_a"),
+        pick(F.col("_pb.norm_text"), F.col("_pa.norm_text")).alias("text_b"),
+        pick(F.col("_pa.minhash_sig"), F.col("_pb.minhash_sig")).alias("sig_a"),
+        pick(F.col("_pb.minhash_sig"), F.col("_pa.minhash_sig")).alias("sig_b"),
     )
     return pairs, hot
 
@@ -421,7 +572,7 @@ def run_incremental(
     #     out-of-order delivery, dropped.
     # Per-batch ingest counts are written as a metric so replay/stale
     # volume is visible (write happens after the stage, from the cheap
-    # committed snapshot — see batch_ingest metric below).
+    # committed snapshot — see the fused batch_metrics write below).
     rest = [c for c in BLOCKED_COLS if c != "url"]
 
     def _with_content_hash(df: DataFrame) -> DataFrame:
@@ -599,43 +750,41 @@ def run_incremental(
             extra=full_extra,
         )
 
-    # ingest observability: new / changed(updated) / refreshed(ts-only) /
-    # dropped(replay|stale)
-    # per batch. Cheap by construction — one scan of the slim committed
-    # snapshot plus a column-pruned distinct over the batch urls; guarded
-    # so resuming a snapshot committed by a pre-status code version skips
-    # the metric instead of failing.
-    if "_batch_status" in kept.columns:
-        # ONE lazy job: the kept-status counts and the batch-url total are
-        # unioned as tagged rows and pivoted into the metric row inside
-        # the metric write itself — no driver collect, no extra actions
-        # (this was 3 jobs of pure bookkeeping per fold).
-        tagged = (
-            kept.groupBy(F.col("_batch_status").alias("_tag"))
-            .agg(F.count("*").alias("n"))
-            .unionByName(
-                new_pages.select("url")
-                .distinct()
-                .agg(F.count("*").alias("n"))
-                .select(F.lit("_total").alias("_tag"), "n")
+    # Per-fold observability is fused into ONE metric write at the end of
+    # the fold (see batch_metrics below) — each of the four former
+    # standalone writes (ingest counts, block overflow, edge counts,
+    # score histogram) was its own Spark job launch, together a measured
+    # ~2 s of the fold's size-invariant floor (VERDICT r04 item 1/2).
+    # The constituent frames are collected lazily here and unioned in a
+    # long (metric, key, value) layout for a single action.
+    fold_metric_parts: list[DataFrame] = []
+
+    def _metric_part(metric: str, key_col, value_col, src: DataFrame) -> None:
+        fold_metric_parts.append(
+            src.select(
+                F.lit(metric).alias("metric"),
+                key_col.cast("string").alias("key"),
+                value_col.cast("double").alias("value"),
             )
         )
-        pick = lambda tag: F.coalesce(  # noqa: E731
-            F.sum(F.when(F.col("_tag") == tag, F.col("n"))), F.lit(0)
+
+    # ingest: new / changed(updated) / refreshed(ts-only) counts from the
+    # slim committed delta, plus the distinct batch-url total; guarded so
+    # resuming a snapshot committed by a pre-status code version skips
+    # the rows instead of failing (dropped_replay_or_stale is derivable:
+    # batch_urls − new − changed − refresh).
+    if "_batch_status" in kept.columns:
+        _metric_part(
+            "batch_ingest",
+            F.col("_batch_status"),
+            F.col("n"),
+            kept.groupBy("_batch_status").agg(F.count("*").alias("n")),
         )
-        io.write_metric(
-            tagged.agg(
-                F.lit(batch_id).alias("batch_id"),
-                pick("_total").alias("batch_urls"),
-                pick("new").alias("new_urls"),
-                pick("changed").alias("recrawl_changed"),
-                pick("refresh").alias("recrawl_refreshed"),
-                (
-                    pick("_total") - pick("new") - pick("changed") - pick("refresh")
-                ).alias("dropped_replay_or_stale"),
-            ),
-            "blocked",
-            f"batch_ingest_{batch_id}",
+        _metric_part(
+            "batch_ingest",
+            F.lit("batch_urls"),
+            F.col("n"),
+            new_pages.select("url").distinct().agg(F.count("*").alias("n")),
         )
 
     def _edges_delta() -> DataFrame:
@@ -680,7 +829,13 @@ def run_incremental(
             max_block_size=cfg.max_block_size,
             max_band_hamming=cfg.max_band_hamming,
         )
-        io.write_metric(overflow, "edges", f"block_overflow_{batch_id}")
+        # overflow rows join the fused end-of-fold metric write; the frame
+        # is persisted (hot_keys via incremental_candidate_pairs), so by
+        # write time it is already materialized — a resumed edge stage
+        # never recomputes it, and then (as before) records no overflow
+        _metric_part(
+            "block_overflow", F.col("block_key"), F.col("block_size"), overflow
+        )
         routed = route_unmatched(pairs, exact_inc)
         scored = score_pairs(routed, match_threshold=cfg.fuzzy_threshold).drop(
             "sig_a", "sig_b", "text_a", "text_b"
@@ -735,8 +890,16 @@ def run_incremental(
         # edge delta (exact under the monotone-edges contract — see
         # incremental_label_delta). The committed artifact is the label
         # DELTA (changed prior rows + fresh urls), O(touched), never the
-        # O(history) relabeled set.
-        d, cc_iters = incremental_label_delta(_prior("labels"), edge_delta)
+        # O(history) relabeled set. The delta's row count comes from the
+        # manifest record of the just-committed edges_delta snapshot —
+        # zero jobs — and routes small folds to the driver-side
+        # contraction path.
+        edge_rec = io.last_committed("edges_delta", fp)
+        d, cc_iters = incremental_label_delta(
+            _prior("labels"),
+            edge_delta,
+            n_new_edges=None if edge_rec is None else edge_rec.get("row_count"),
+        )
         return d
 
     stage_delta("labels", _labels_delta)
@@ -753,31 +916,38 @@ def run_incremental(
 
     # Per-batch observability is DELTA-scoped. The previous form wrote
     # the full-state match_statistics row per fold — an O(history)
-    # aggregation per batch, the wrong cost shape at 10^12 docs (and a
-    # measured 1.3 s of the fold's ~12 s floor at bench scale). The
+    # aggregation per batch, the wrong cost shape at 10^12 docs. The
     # match-count + score-distribution metrics the checkpoint contract
     # asks for describe THIS batch's output, which is the committed
     # O(batch) edge delta; the full-state stats row stays available as
     # the LAZY ``PipelineResult.stats`` view (zero jobs unless the
     # caller consumes it), and a compaction batch materializes state
-    # anyway. batch_ingest_* (above) already covers page-level counts.
+    # anyway. Edge counts + histogram join the fused write below.
     from .scoring import score_histogram
 
-    io.write_metric(
-        edge_delta.agg(
-            F.lit(batch_id).alias("batch_id"),
-            F.coalesce(
-                F.sum((F.col("match_type") == "exact").cast("long")), F.lit(0)
-            ).alias("n_exact_edges_emitted"),
-            F.coalesce(
-                F.sum((F.col("match_type") == "fuzzy").cast("long")), F.lit(0)
-            ).alias("n_fuzzy_edges_emitted"),
-        ),
-        "final",
-        f"batch_edges_{batch_id}",
+    _metric_part(
+        "edge_counts",
+        F.col("match_type"),
+        F.col("n"),
+        edge_delta.groupBy("match_type").agg(F.count("*").alias("n")),
     )
+    _metric_part(
+        "score_histogram",
+        F.round(F.col("score_bucket"), 2),
+        F.col("n_pairs"),
+        score_histogram(edge_delta),
+    )
+    # THE fold's one metric action: every per-batch observability frame
+    # (ingest counts, block overflow, edge counts, score histogram) in a
+    # long (metric, key, value) layout under a single write — four Spark
+    # job launches of pure bookkeeping fused into one (VERDICT r05 task 1)
+    fused = fold_metric_parts[0]
+    for part in fold_metric_parts[1:]:
+        fused = fused.unionByName(part)
     io.write_metric(
-        score_histogram(edge_delta), "final", f"batch_score_histogram_{batch_id}"
+        fused.select(F.lit(batch_id).alias("batch_id"), "metric", "key", "value"),
+        "final",
+        f"batch_metrics_{batch_id}",
     )
 
     return PipelineResult(

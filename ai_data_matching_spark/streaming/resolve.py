@@ -111,7 +111,7 @@ def resolve_stream(
                     # the prior fingerprint joins the batch id: a stream
                     # restarted against a FRESH checkpoint dir renumbers
                     # epochs from 0, and a bare epoch-N would overwrite
-                    # the original epoch-N's metric frames (batch_ingest,
+                    # the original epoch-N's fused batch_metrics frame (ingest,
                     # block_overflow, score histogram — the observability
                     # record). A true same-epoch replay recomputes the
                     # same prior, so its idempotent overwrite is kept.

@@ -38,12 +38,15 @@ CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 SPLIT_DENOM = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 PHASES: list[tuple[str, float]] = []
+MARKS: list[tuple[str, float, float]] = []  # (label, start, end) absolute
 
 
 def timed(label: str, fn, *a, **kw):
     t0 = time.perf_counter()
     out = fn(*a, **kw)
-    PHASES.append((label, time.perf_counter() - t0))
+    t1 = time.perf_counter()
+    PHASES.append((label, t1 - t0))
+    MARKS.append((label, t0, t1))
     return out
 
 
@@ -98,6 +101,7 @@ def main() -> None:
     release_persisted()
     spark.catalog.clearCache()
     PHASES.clear()  # only profile the fold
+    MARKS.clear()
 
     batch = all_pages.filter(is_batch).persist()
     n_batch = batch.count()
@@ -112,9 +116,12 @@ def main() -> None:
     print(f"\nbase: {n_base} docs in {t_base:.2f}s | fold: {n_batch} docs in {dt:.2f}s")
     print(f"assigned materialize (post-return): {t_tail:.2f}s ({n_assigned} rows)")
     acc = 0.0
-    for label, secs in PHASES:
+    prev_end = t0
+    for (label, secs), (_, s, e) in zip(PHASES, MARKS):
         acc += secs
-        print(f"  {label:<40s} {secs:7.2f}s")
+        print(f"  {label:<40s} {secs:7.2f}s   (+{s - prev_end:5.2f}s gap before)")
+        prev_end = e
+    print(f"  {'(tail gap to return)':<40s} {t_mid - prev_end:7.2f}s")
     print(f"  {'(storage-touch total)':<40s} {acc:7.2f}s")
     print(f"  {'(untimed remainder: joins/metrics/CC)':<40s} {dt - t_tail - acc:7.2f}s")
     anchor = t_base * ((n_base + n_batch) / n_base)

@@ -206,17 +206,26 @@ def test_recrawl_changed_content_updates_state(spark, tmp_path):
     assert rows["http://a.com/1"]["warc_ts"].day == 11  # 2026-01-01 + 10d
     assert blocked.filter(F.col("url") == "http://a.com/1").count() == 1
 
-    # ingest metric: 4 batch urls → 1 new, 1 changed, 1 refreshed, 1 dropped
-    metric_path = os.path.join(str(tmp_path / "snaps"), "_metrics", "blocked", "batch_ingest_b1")
-    m = spark.read.parquet(metric_path).collect()[0].asDict()
-    assert m == {
-        "batch_id": "b1",
-        "batch_urls": 4,
-        "new_urls": 1,
-        "recrawl_changed": 1,
-        "recrawl_refreshed": 1,
-        "dropped_replay_or_stale": 1,
-    }
+    # fused per-fold metric frame (ONE write per fold): long layout
+    # (batch_id, metric, key, value)
+    metric_path = os.path.join(
+        str(tmp_path / "snaps"), "_metrics", "final", "batch_metrics_b1"
+    )
+    mrows = spark.read.parquet(metric_path).collect()
+    assert all(r["batch_id"] == "b1" for r in mrows)
+    m = {(r["metric"], r["key"]): r["value"] for r in mrows}
+    # ingest: 4 batch urls → 1 new, 1 changed, 1 refreshed, 1 dropped
+    assert m[("batch_ingest", "batch_urls")] == 4
+    assert m[("batch_ingest", "new")] == 1
+    assert m[("batch_ingest", "changed")] == 1
+    assert m[("batch_ingest", "refresh")] == 1
+    dropped = (
+        m[("batch_ingest", "batch_urls")]
+        - m[("batch_ingest", "new")]
+        - m[("batch_ingest", "changed")]
+        - m[("batch_ingest", "refresh")]
+    )
+    assert dropped == 1
 
     # per-batch match metrics are DELTA-scoped: counts + score histogram
     # of THIS batch's committed edge delta (never an O(history)
@@ -233,21 +242,10 @@ def test_recrawl_changed_content_updates_state(spark, tmp_path):
         ).count()
         == 0
     )
-    em = (
-        spark.read.parquet(
-            os.path.join(str(tmp_path / "snaps"), "_metrics", "final", "batch_edges_b1")
-        )
-        .collect()[0]
-        .asDict()
-    )
-    assert em["batch_id"] == "b1"
-    assert em["n_exact_edges_emitted"] + em["n_fuzzy_edges_emitted"] == n_delta
-    hist = spark.read.parquet(
-        os.path.join(
-            str(tmp_path / "snaps"), "_metrics", "final", "batch_score_histogram_b1"
-        )
-    )
-    assert hist.agg(F.sum("n_pairs")).collect()[0][0] == n_delta
+    edge_counts = sum(v for (metric, _k), v in m.items() if metric == "edge_counts")
+    assert edge_counts == n_delta
+    hist_total = sum(v for (metric, _k), v in m.items() if metric == "score_histogram")
+    assert hist_total == n_delta
 
 
 def test_refresh_advances_ts_so_out_of_order_older_crawl_stays_stale(spark, tmp_path):
@@ -750,3 +748,57 @@ def test_incremental_accepts_minimal_batch(spark, pages_small, tmp_path):
     run_pipeline(spark, base, io=io, cfg=CFG)
     res = run_incremental(spark, batch, io, "minimal", cfg=CFG)
     assert res.assigned.filter(F.col("url").isNotNull()).count() > 0
+
+
+def test_label_delta_driver_equals_distributed(spark):
+    """The driver-side contraction path (``_label_delta_driver`` — used
+    whenever the committed edge delta fits the CC small-graph gate) must
+    produce the exact same label delta as the distributed broadcast
+    shape, on random graphs including bridging/fresh/changed-rep mixes."""
+    import random
+
+    from ai_data_matching_spark.operators.clustering import connected_components
+    from ai_data_matching_spark.operators.incremental import incremental_label_delta
+
+    as_rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    universe = [f"u{i:02d}" for i in range(20)] + [f"{i}f" for i in range(8)]
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        prior_edges = [tuple(rng.sample(universe[:20], 2)) for _ in range(10)]
+        new_edges = [tuple(rng.sample(universe, 2)) for _ in range(12)]
+        prior, _ = connected_components(
+            spark.createDataFrame(prior_edges, "src string, dst string")
+        )
+        e = spark.createDataFrame(new_edges, "src string, dst string")
+        drv, it_drv = incremental_label_delta(prior, e, n_new_edges=len(new_edges))
+        dist, _ = incremental_label_delta(prior, e, n_new_edges=None)
+        assert it_drv == 0
+        assert as_rows(drv) == as_rows(dist), f"seed={seed}"
+
+
+def test_fold_spark_job_budget(spark, pages_small, tmp_path):
+    """Regression guard on the fold's size-invariant floor (VERDICT r04
+    task 9): pin the number of Spark jobs one fold launches — job-group
+    counted, materialization of the assigned view included — so future
+    bookkeeping can't silently re-add per-fold actions. The r05 fold
+    measures ~60 jobs at local[*] (three snapshot commits + ONE fused
+    metric write + the driver-path label contraction; most of the rest
+    are AQE query-stage materializations and broadcast builds inside the
+    commits). The bound carries headroom for AQE plan variance; the four
+    standalone metric writes this round fused away were worth ~10 jobs,
+    so a regression of that size trips it."""
+    pages = pages_small.drop("entity_id")
+    base = _split(pages, 10, 1)
+    batch = pages.join(base.select("url"), "url", "left_anti").limit(60)
+    io = TableIO(str(tmp_path / "snaps"))
+    run_pipeline(spark, base, io=io, cfg=CFG)
+    sc = spark.sparkContext
+    group = "fold-job-budget"
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        res = run_incremental(spark, batch, io, "budget", cfg=CFG)
+        res.assigned.count()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert 0 < n_jobs <= 80, f"fold launched {n_jobs} Spark jobs (budget 80)"
