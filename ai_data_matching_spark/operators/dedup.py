@@ -524,46 +524,103 @@ def cut_duplicate_spans(
     normalized text and n_tokens_cut = 0.
 
     Scale shape: one groupBy of the (slim) span frame per doc and one
-    join back to docs; the coverage expansion + token filter are native
-    higher-order functions in codegen — no UDF, no self-join.
+    join back to docs; the span application is native higher-order
+    functions — no UDF, no self-join. Per-doc cost is O(tokens +
+    spans·log spans) (r05 rewrite — sort the span starts, fold them
+    into merged covered INTERVALS, and slice out the complement gaps):
+    the previous form expanded per-position coverage and ran an
+    ``exists`` scan per token, O(tokens × covered positions), which
+    made heavily-marked documents quadratic. The groupBy and the
+    join-back are keyed on ``xxhash64(id)`` — at the 1M-page smoke the
+    span frame is 49M rows and shipping the url string through the
+    collect_list shuffle was half the stage (20.6 s measured; the
+    8-byte uid is ~4× narrower). A uid collision would merge two
+    documents' span lists and over-cut the smaller — the same accepted
+    risk class (and probability, n²/2⁶⁴) as the gram-hash collisions
+    the marking stage itself carries.
     """
-    starts = spans.groupBy(F.col(id_col)).agg(
-        F.collect_list("pos").alias("_starts")
-    )
+    starts = spans.select(
+        F.xxhash64(F.col(id_col).cast("string")).alias("_cut_uid"), "pos"
+    ).groupBy("_cut_uid").agg(F.collect_list("pos").alias("_starts"))
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
-    cov = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce("_starts", F.array().cast("array<bigint>")),
-                lambda s: F.sequence(s, s + F.lit(n - 1)),
+    nl = F.lit(n).cast("long")
+    _iv = lambda a, b: F.struct(a.alias("a"), b.alias("b"))  # noqa: E731
+    empty_ivs = F.array().cast("array<struct<a:bigint,b:bigint>>")
+
+    # sorted starts → merged covered intervals [a, b] via one fold; the
+    # (-1, -2) sentinel seeds the fold and is filtered in the finish step
+    def _merged_intervals(ss):
+        acc0 = F.struct(
+            empty_ivs.alias("ivs"),
+            F.lit(-1).cast("bigint").alias("a"),
+            F.lit(-2).cast("bigint").alias("b"),
+        )
+        step = lambda acc, s: F.when(  # noqa: E731
+            s <= acc["b"] + 1,
+            F.struct(
+                acc["ivs"].alias("ivs"),
+                acc["a"].alias("a"),
+                F.greatest(acc["b"], s + nl - 1).alias("b"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc["ivs"], F.array(_iv(acc["a"], acc["b"]))).alias("ivs"),
+                s.alias("a"),
+                (s + nl - 1).alias("b"),
             )
         )
+        fin = lambda acc: F.filter(  # noqa: E731
+            F.concat(acc["ivs"], F.array(_iv(acc["a"], acc["b"]))),
+            lambda v: v["a"] >= 0,
+        )
+        return F.aggregate(ss, acc0, step, fin)
+
+    merged = _merged_intervals(
+        F.array_sort(F.coalesce("_starts", F.array().cast("array<bigint>")))
     )
 
-    # _let-bind (toks, cov) and nest a binding for the kept array:
-    # withColumn chains collapse into one Project, which would inline the
-    # coverage expansion into the token filter's lambda (re-deriving it
-    # once per token) and re-run the filter for every output column that
-    # mentions it
+    # _let-bind (toks, ivs): withColumn chains collapse into one Project,
+    # which would otherwise inline the interval fold into every
+    # consumer (the hof.py lambda-inlining trap)
     def _apply(s):
-        kept = F.filter(
-            s["toks"],
-            lambda x, i: ~F.exists(s["cov"], lambda c: c == i.cast("long")),
+        t, ivs = s["toks"], s["ivs"]
+        k = F.size(ivs)
+        # complement gaps: before the first interval, between intervals,
+        # after the last — k+1 candidates, empty ones filtered
+        gaps = F.filter(
+            F.transform(
+                F.sequence(F.lit(0), k),
+                lambda i: F.struct(
+                    F.when(i == 0, F.lit(0).cast("bigint"))
+                    .otherwise(F.element_at(ivs, i)["b"] + 1)
+                    .alias("lo"),
+                    F.when(i == k, F.size(t).cast("bigint") - 1)
+                    .otherwise(F.element_at(ivs, i + 1)["a"] - 1)
+                    .alias("hi"),
+                ),
+            ),
+            lambda g: g["hi"] >= g["lo"],
+        )
+        kept = F.flatten(
+            F.transform(
+                gaps, lambda g: F.slice(t, g["lo"] + 1, g["hi"] - g["lo"] + 1)
+            )
         )
         return _let(
             kept,
-            lambda k: F.struct(
-                F.array_join(k, " ").alias("cut_text"),
-                (F.size(s["toks"]) - F.size(k)).cast("long").alias("n_tokens_cut"),
+            lambda kp: F.struct(
+                F.array_join(kp, " ").alias("cut_text"),
+                (F.size(t) - F.size(kp)).cast("long").alias("n_tokens_cut"),
             ),
         )
 
-    result = _let(F.struct(toks.alias("toks"), cov.alias("cov")), _apply)
+    result = _let(F.struct(toks.alias("toks"), merged.alias("ivs")), _apply)
     keep_cols = [c for c in docs.columns if c != text_col]
     # explode-over-singleton barrier: materialize the struct once; the
     # two field extractions are then O(1) instead of re-running the cut
     return (
-        docs.join(starts, id_col, "left")
+        docs.withColumn("_cut_uid", F.xxhash64(F.col(id_col).cast("string")))
+        .join(starts, "_cut_uid", "left")
         .select(*keep_cols, F.col(text_col), F.col("_starts"))
         .select(*keep_cols, F.explode(F.array(result)).alias("_r"))
         .select(
