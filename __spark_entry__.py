@@ -504,11 +504,51 @@ def q_ann_topk_bf_lsh_ivf(spark, sf_dir):
     50-query-cap consolidation, extended to the brute-force baseline to
     free a slot for the round-4 training-data extras): 'bf' is the exact
     broadcast cross-join baseline, 'lsh'/'ivf' the bucketed scale paths.
-    Each variant's own semantics and oracle SQL are unchanged."""
-    bf = q_ann_cosine_topk(spark, sf_dir).select(
-        F.lit("bf").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+    Each variant's own semantics and oracle SQL are unchanged.
+
+    r05 addition (VERDICT task 7): two ``recall3_*_vs_bf`` summary rows
+    quantify each approximate path's recall@3 against the exact
+    brute-force baseline — |approx ∩ bf| / |bf| over (query, neighbor)
+    pairs — as an ORACLED accuracy contract, not just a labeled
+    baseline. Encoded in the same 5-column shape (query_id/neighbor_id
+    = -1, cosine = the recall, rank = 0). At these settings LSH is a
+    recall-1.0 pin (see q_ann_lsh_topk) and IVF's recall is a real
+    sub-1.0 number both engines must agree on."""
+    from ai_data_matching_spark.cache import persist_tracked
+
+    # each variant frame feeds its result rows AND a recall join — persist
+    # so the union's branches don't recompute the scoring pipelines
+    bf = persist_tracked(q_ann_cosine_topk(spark, sf_dir))
+    lsh = persist_tracked(q_ann_lsh_topk(spark, sf_dir))
+    ivf = persist_tracked(q_ann_ivf_topk(spark, sf_dir))
+
+    def tag(df, name):
+        return df.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+        )
+
+    def recall_row(df, name):
+        pairs = df.select("query_id", "neighbor_id")
+        bf_pairs = bf.select("query_id", "neighbor_id")
+        hits = pairs.join(bf_pairs, ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("_hits")
+        )
+        total = bf_pairs.agg(F.count("*").alias("_total"))
+        return hits.crossJoin(total).select(
+            F.lit(name).alias("method"),
+            F.lit(-1).cast("long").alias("query_id"),
+            F.lit(-1).cast("long").alias("neighbor_id"),
+            F.round(F.col("_hits") / F.col("_total"), 6).alias("cosine"),
+            F.lit(0).alias("rank"),
+        )
+
+    return (
+        tag(bf, "bf")
+        .unionByName(tag(lsh, "lsh"))
+        .unionByName(tag(ivf, "ivf"))
+        .unionByName(recall_row(lsh, "recall3_lsh_vs_bf"))
+        .unionByName(recall_row(ivf, "recall3_ivf_vs_bf"))
     )
-    return bf.unionByName(q_ann_lsh_ivf_topk(spark, sf_dir))
 
 
 def q_near_dup_sim_emb_pairs(spark, sf_dir):
@@ -1660,22 +1700,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # method-tagged union of all three ANN variants (same
         # 50-query-cap consolidation as near_dup_sim_emb_pairs); each
-        # branch's SQL is the variant's former standalone oracle verbatim
+        # branch's SQL is the variant's former standalone oracle, hoisted
+        # into shared top-level CTEs so the r05 recall@3 summary rows can
+        # join the approximate results against the exact baseline.
+        # The lsh oracle IS the exact brute-force result (the recall-1.0
+        # gate documented at q_ann_lsh_topk), so it reuses `bfr`.
         "ann_topk_bf_lsh_ivf": """
-            SELECT 'bf' AS method, query_id, neighbor_id, cosine, rank FROM (
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
                        WHERE vec_id % 100 = 0),
-            scored AS (
+            bscored AS (
               SELECT q.query_id, c.vec_id AS neighbor_id,
                      round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
               FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-            r AS (SELECT *, row_number() OVER
-                    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-                  FROM scored)
-            SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM r WHERE rank <= 3
-            )
-            UNION ALL
-            SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank FROM (
+            bfr AS (SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM (
+                      SELECT *, row_number() OVER
+                        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                      FROM bscored)
+                    WHERE rank <= 3),
             -- Replays the anchor_ids IVF semantics EXACTLY (see
             -- q_ann_ivf_topk): anchors = 8 lowest-vec_id embeddings;
             -- every vector joins the list of its round(cos,6)-argmax
@@ -1683,7 +1724,7 @@ def oracle_sql() -> dict[str, str]:
             -- top-6 anchor lists by the same rule; exact cosine + top-3
             -- on candidates. Each corpus vector lives in exactly ONE
             -- list, so no candidate dedup is needed.
-            WITH a AS (
+            a AS (
               SELECT embedding AS av,
                      row_number() OVER (ORDER BY vec_id) - 1 AS anchor_idx
               FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
@@ -1709,28 +1750,32 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT * FROM qp WHERE rn <= 6) p
               JOIN lists l ON l.list_id = p.list_id
               WHERE l.vec_id <> p.query_id),
-            scored AS (
+            iscored AS (
               SELECT query_id, neighbor_id,
                      round(list_cosine_similarity(qv::DOUBLE[], nv::DOUBLE[]), 6) AS cosine
               FROM cand),
-            r AS (SELECT *, row_number() OVER
-                    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-                  FROM scored)
-            SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM r WHERE rank <= 3
-            )
+            ivfr AS (SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM (
+                       SELECT *, row_number() OVER
+                         (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                       FROM iscored)
+                     WHERE rank <= 3)
+            SELECT 'bf' AS method, * FROM bfr
             UNION ALL
-            SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank FROM (
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-                       WHERE vec_id % 100 = 0),
-            scored AS (
-              SELECT q.query_id, c.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
-              FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-            r AS (SELECT *, row_number() OVER
-                    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-                  FROM scored)
-            SELECT query_id, neighbor_id, cosine, rank::int AS rank FROM r WHERE rank <= 3
-            )
+            SELECT 'ivf' AS method, * FROM ivfr
+            UNION ALL
+            SELECT 'lsh' AS method, * FROM bfr
+            UNION ALL
+            SELECT 'recall3_lsh_vs_bf' AS method, -1::BIGINT AS query_id,
+                   -1::BIGINT AS neighbor_id,
+                   round((SELECT count(*) FROM bfr x JOIN bfr y
+                            USING (query_id, neighbor_id))::DOUBLE
+                         / (SELECT count(*) FROM bfr), 6) AS cosine, 0 AS rank
+            UNION ALL
+            SELECT 'recall3_ivf_vs_bf' AS method, -1::BIGINT AS query_id,
+                   -1::BIGINT AS neighbor_id,
+                   round((SELECT count(*) FROM ivfr JOIN bfr
+                            USING (query_id, neighbor_id))::DOUBLE
+                         / (SELECT count(*) FROM bfr), 6) AS cosine, 0 AS rank
         """,
         "mm_binary_meta": """
             WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
