@@ -485,20 +485,6 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
-def q_ann_lsh_ivf_topk(spark, sf_dir):
-    """Both bucketed ANN variants in one registry entry (method-tagged
-    union — the driver's CORRECTNESS artifact caps at 50 queries, so the
-    two identically-shaped ANN paths share a row; each variant's own
-    semantics are unchanged and separately exercised)."""
-    lsh = q_ann_lsh_topk(spark, sf_dir).select(
-        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
-    )
-    ivf = q_ann_ivf_topk(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
-    )
-    return lsh.unionByName(ivf)
-
-
 def q_ann_topk_bf_lsh_ivf(spark, sf_dir):
     """All three ANN variants in one method-tagged registry entry (the
     50-query-cap consolidation, extended to the brute-force baseline to
@@ -553,7 +539,7 @@ def q_ann_topk_bf_lsh_ivf(spark, sf_dir):
 
 def q_near_dup_sim_emb_pairs(spark, sf_dir):
     """SimHash and embedding-cosine near-dup pairs in one method-tagged
-    entry (same 50-row-cap consolidation as q_ann_lsh_ivf_topk): value is
+    entry (same 50-row-cap consolidation as q_ann_topk_bf_lsh_ivf): value is
     the variant's own metric — hamming distance (exact, cast to double)
     for simhash, cosine for embeddings."""
     sim = q_simhash_near_pairs(spark, sf_dir).select(
